@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in lynxkite_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` entries are verified against ``oracle_sql()`` by the driver
+(DuckDB over the same parquet views, row-count + schema + value-hash).
+Graph operators run over the **co-purchase part graph** derived from
+``lineitem`` (parts appearing in the same order), which is exactly
+expressible in SQL — see lynxkite_ray/pipelines/copurchase.py.  Float
+outputs are rounded to 6 decimals on BOTH sides so value-hashes are
+summation-order independent.
 """
 
 from __future__ import annotations
@@ -18,27 +17,222 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _configure():
+    from lynxkite_ray.context import configure
+
+    configure(quiet=True)
+
+
+# --------------------------------------------------------------------------
+# SQL building blocks shared by the graph-operator oracles
+# --------------------------------------------------------------------------
+
+_EDGES_CTE = """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+vertices AS (SELECT p_partkey AS id FROM part),
+nv AS (SELECT COUNT(*)::DOUBLE AS n FROM vertices)
+"""
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    parts = [
+        "WITH " + _EDGES_CTE.strip() + ",",
+        "outdeg AS (SELECT src AS id, COUNT(*)::DOUBLE AS wsum FROM sym GROUP BY src),",
+        "pr0 AS (SELECT id, 1.0::DOUBLE AS rank FROM vertices)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+inc{k} AS (
+  SELECT e.dst AS id, {damping} * SUM(p.rank / d.wsum) AS inc
+  FROM sym e
+  JOIN pr{k - 1} p ON p.id = e.src
+  JOIN outdeg d ON d.id = e.src
+  GROUP BY e.dst
+),
+pr{k} AS (
+  SELECT v.id,
+         (SELECT (n - (SELECT COALESCE(SUM(inc), 0) FROM inc{k})) / n FROM nv)
+         + COALESCE(i.inc, 0) AS rank
+  FROM vertices v LEFT JOIN inc{k} i ON i.id = v.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(rank, 6) AS rank FROM pr{iterations} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    parts = [
+        "WITH " + _EDGES_CTE.strip() + ",",
+        "lab0 AS (SELECT id, id AS label FROM vertices)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+msg{k} AS (
+  SELECT e.dst AS id, l.label, COUNT(*)::DOUBLE AS w
+  FROM sym e JOIN lab{k - 1} l ON l.id = e.src
+  GROUP BY e.dst, l.label
+),
+pick{k} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, label ASC) AS rn
+    FROM msg{k}
+  ) WHERE rn = 1
+),
+lab{k} AS (
+  SELECT v.id, COALESCE(p.label, l.label) AS label
+  FROM vertices v
+  JOIN lab{k - 1} l ON l.id = v.id
+  LEFT JOIN pick{k} p ON p.id = v.id
+)"""
+        )
+    parts.append(f"\nSELECT id, label FROM lab{iterations} ORDER BY id")
+    return "\n".join(parts)
+
+
+_CC_SQL = (
+    "WITH RECURSIVE "
+    + _EDGES_CTE.strip()
+    + """,
+reach(id, label) AS (
+  SELECT id, id FROM vertices
+  UNION
+  SELECT e.dst, r.label
+  FROM reach r JOIN sym e ON e.src = r.id
+  WHERE r.label < e.dst
+)
+SELECT id, MIN(label) AS component FROM reach GROUP BY id ORDER BY id
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Ray-side graph helpers
+# --------------------------------------------------------------------------
+
+
+def _copurchase_graph(sf_dir: str, symmetric: bool):
+    from lynxkite_ray.pipelines.copurchase import copurchase_graph
+
+    return copurchase_graph(sf_dir, symmetric)
+
+
+def _q_edges(sf_dir: str):
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges
+
+    return copurchase_edges(sf_dir)
+
+
+def _q_degree(sf_dir: str):
+    import ray.data as rd
+
+    from lynxkite_ray.pipelines.copurchase import copurchase_symmetric, part_vertices
+    from lynxkite_ray.stages.edges import out_degree
+
+    vertices = rd.from_arrow(pa.table({"id": part_vertices(sf_dir)}))
+    return out_degree(copurchase_symmetric(sf_dir), vertices)
+
+
+def _q_pagerank(sf_dir: str):
+    from lynxkite_ray.functions.graph import pagerank
+
+    g = _copurchase_graph(sf_dir, symmetric=True)
+    ranks = pagerank(g, damping=0.85, iterations=5)
+    return pa.table({"id": g.vids, "rank": np.round(ranks, 6)})
+
+
+def _q_components(sf_dir: str):
+    from lynxkite_ray.functions.graph import connected_components
+
+    g = _copurchase_graph(sf_dir, symmetric=False)
+    labels = connected_components(g)
+    return pa.table({"id": g.vids, "component": labels})
+
+
+def _q_lpa(sf_dir: str):
+    from lynxkite_ray.functions.graph import label_propagation
+
+    g = _copurchase_graph(sf_dir, symmetric=False)
+    labels = label_propagation(g, iterations=3)
+    return pa.table({"id": g.vids, "label": labels})
+
+
+def _q_triangles(sf_dir: str):
+    from lynxkite_ray.functions.graph import triangle_count
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges
+
+    n = triangle_count(copurchase_edges(sf_dir))
+    return pa.table({"triangles": pa.array([n], type=pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: co-purchase graph from sf0.001 lineitem → PageRank scores."""
+    _configure()
+    from lynxkite_ray.functions.graph import pagerank
+
+    g = _copurchase_graph("/root/testdata/sf0.001", symmetric=True)
+    ranks = pagerank(g, damping=0.85, iterations=5)
+    import pandas as pd
+
+    return pd.DataFrame({"id": g.vids, "rank": ranks})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _configure()
+    return {
+        "copurchase_edges": _q_edges,
+        "degree": _q_degree,
+        "pagerank": _q_pagerank,
+        "connected_components": _q_components,
+        "label_propagation": _q_lpa,
+        "triangle_count": _q_triangles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "copurchase_edges": (
+            "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        ),
+        "degree": (
+            "WITH "
+            + _EDGES_CTE.strip()
+            + """
+SELECT v.id, COALESCE(c.cnt, 0) AS degree
+FROM vertices v
+LEFT JOIN (SELECT src AS id, COUNT(*) AS cnt FROM sym GROUP BY src) c USING (id)
+ORDER BY v.id"""
+        ),
+        "pagerank": _pagerank_sql(5, 0.85),
+        "connected_components": _CC_SQL,
+        "label_propagation": _lpa_sql(3),
+        "triangle_count": (
+            "WITH "
+            + _EDGES_CTE.strip()
+            + """
+SELECT COUNT(*) AS triangles
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+        ),
+    }

@@ -1,0 +1,165 @@
+"""Graph handle: edge Dataset → index-space CSR-ish shards in the object
+store, built once and reused across iterations (HybridBundle semantics —
+the reference materializes/caches its skew-partitioned edge view for reuse,
+HybridBundle.scala:35-60; our shards play the same role for the gather-
+scatter loops).
+
+Two regimes, mirroring the reference's small-graph fallback philosophy
+(ConnectedComponents.scala:19,63-78):
+
+- **dense** (V ≤ context.DENSE_VERTEX_THRESHOLD): the sorted distinct vertex
+  id array is collected once; edges are mapped to dense indices inside
+  ``map_batches`` (broadcast ``ray.put`` of the id array, fetched zero-copy
+  per task); per-iteration state is a V-length numpy vector broadcast via
+  ``ray.put`` and combined by summing per-shard partials. This is the fast
+  path for any graph whose *vertex set* fits one machine (edges never do
+  all-to-all; only V-sized vectors move).
+- **dataset** (arbitrary V): pure Dataset ops per iteration — hash join
+  ranks⋈edges on src, groupby(dst).sum — streaming at any scale. See
+  pagerank.pagerank_dataset.
+
+Edge blocks are re-blocked to ~context.ROWS_PER_BLOCK rows before shard
+construction so the task fan-out is proportional to data (EntityIO.scala:
+82-96 partition policy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ...context import DENSE_VERTEX_THRESHOLD, num_blocks_for
+from ...state.checkpoint import lineage_key
+
+
+def _collect_numpy(ds: Dataset, col: str) -> np.ndarray:
+    parts = [
+        b.column(col).to_numpy(zero_copy_only=False)
+        for b in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
+class _IndexMapper:
+    """map_batches stage: (src, dst[, weight]) ids → dense indices via a
+    broadcast sorted id array (ray.put once, zero-copy ray.get per actor)."""
+
+    def __init__(self, vids_ref, weight_col: str | None):
+        self._ref = vids_ref
+        self._vids = None
+        self.weight_col = weight_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._vids is None:
+            self._vids = ray.get(self._ref)
+        vids = self._vids
+        si = np.searchsorted(vids, t.column("src").to_numpy())
+        di = np.searchsorted(vids, t.column("dst").to_numpy())
+        cols = {"si": si.astype(np.int64), "di": di.astype(np.int64)}
+        if self.weight_col is not None:
+            w = t.column(self.weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            keep = w > 0.0  # PageRank.scala:44 — drop non-positive weights
+            cols = {"si": cols["si"][keep], "di": cols["di"][keep], "w": w[keep]}
+        else:
+            cols["w"] = np.ones(len(si), dtype=np.float64)
+        return pa.table(cols)
+
+
+@ray.remote
+def _shard_stats(shard: pa.Table, num_vertices: int):
+    si = shard.column("si").to_numpy()
+    w = shard.column("w").to_numpy()
+    wdeg = np.bincount(si, weights=w, minlength=num_vertices)
+    return wdeg, shard.num_rows
+
+
+class Graph:
+    """Immutable distributed graph: sorted vertex ids + edge shards (index
+    space) + per-src weighted out-degree vector.  All object-store resident;
+    the handle is cheap to pass around."""
+
+    def __init__(self, vids, shard_refs, wdeg_ref, num_edges, lineage):
+        self.vids = vids  # np.ndarray sorted int64
+        self.shard_refs = shard_refs  # list[ObjectRef[pa.Table]]
+        self.wdeg_ref = wdeg_ref  # ObjectRef[np.ndarray float64 V]
+        self.num_vertices = len(vids)
+        self.num_edges = num_edges
+        self.lineage = lineage
+
+    @classmethod
+    def from_edges(
+        cls,
+        edges: Dataset,
+        weight_col: str | None = None,
+        extra_vertices: np.ndarray | None = None,
+    ) -> "Graph":
+        """Build from a deduplicated (src, dst[, weight]) Dataset.
+
+        The vertex set is the union of src/dst ids (VerticesToEdges
+        semantics) plus optional ``extra_vertices`` (isolated vertices —
+        they matter for PageRank mass accounting).
+        """
+        cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+        edges = edges.select_columns(cols)
+
+        # Distinct vertex ids: per-block unique inside map_batches, then one
+        # driver-side merge of the (much smaller) per-block distinct sets.
+        def block_unique(t: pa.Table) -> pa.Table:
+            u = np.unique(
+                np.concatenate(
+                    [t.column("src").to_numpy(), t.column("dst").to_numpy()]
+                )
+            )
+            return pa.table({"id": u})
+
+        uniq = edges.map_batches(block_unique, batch_format="pyarrow", zero_copy_batch=True)
+        vids = np.unique(_collect_numpy(uniq, "id"))
+        if extra_vertices is not None and len(extra_vertices):
+            vids = np.unique(np.concatenate([vids, np.asarray(extra_vertices, np.int64)]))
+        if len(vids) > DENSE_VERTEX_THRESHOLD:
+            raise NotImplementedError(
+                "dense Graph handle capped at DENSE_VERTEX_THRESHOLD vertices; "
+                "use the dataset-mode algorithms (e.g. pagerank_dataset) instead"
+            )
+
+        vids_ref = ray.put(vids)
+        mapped = edges.map_batches(
+            _IndexMapper(vids_ref, weight_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # Re-block to the rows/partition policy, then pin shards.
+        mapped = mapped.materialize()
+        n_rows = mapped.count()  # metadata only, already materialized
+        shard_refs = mapped.repartition(num_blocks_for(n_rows)).to_arrow_refs()
+
+        V = len(vids)
+        stats = ray.get([_shard_stats.remote(r, V) for r in shard_refs])
+        wdeg = np.zeros(V, dtype=np.float64)
+        num_edges = 0
+        for part, rows in stats:
+            wdeg += part
+            num_edges += rows
+        lineage = lineage_key("graph", V, num_edges, weight_col)
+        return cls(vids, shard_refs, ray.put(wdeg), num_edges, lineage)
+
+    def gather_edges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Materialize index-space (si, di, w) on the driver — only valid
+        under the local-fallback edge threshold (caller checks)."""
+        tables = ray.get(list(self.shard_refs))
+        si = np.concatenate([t.column("si").to_numpy() for t in tables])
+        di = np.concatenate([t.column("di").to_numpy() for t in tables])
+        w = np.concatenate([t.column("w").to_numpy() for t in tables])
+        return si, di, w
+
+    def scores_table(self, values: np.ndarray, name: str) -> pa.Table:
+        return pa.table({"id": self.vids, name: values})
+
+    def scores_dataset(self, values: np.ndarray, name: str) -> Dataset:
+        import ray.data as rd
+
+        return rd.from_arrow(self.scores_table(values, name))

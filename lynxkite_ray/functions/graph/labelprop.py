@@ -1,0 +1,115 @@
+"""Synchronous weighted label propagation with a pinned deterministic
+tie-break (max neighbor-label weight, ties → smallest label).
+
+The reference delegates to NetworKit PLP (networkit_community_detection.go:
+33-37), whose result is iteration-order-dependent; its own help text warns
+the outcome is nondeterministic.  Exact-match verification forces us to pin
+a deterministic variant (SURVEY §2.1 "Label propagation" row): synchronous
+rounds (all vertices update simultaneously from round k−1 labels), a fixed
+round count, weighted majority over the undirected neighborhood, smallest
+label wins ties.  A vertex with no neighbors keeps its own label.
+
+Dense path only for now: per-shard (dst, label) partial weight sums are
+segment-reduced with numpy and merged; per-vertex argmax with the pinned
+tie-break.  Per-round checkpoint via state.checkpoint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ...state.checkpoint import CheckpointManager, lineage_key
+from .core import Graph
+
+
+def _pick_labels(di: np.ndarray, lab: np.ndarray, w: np.ndarray, V: int) -> tuple:
+    """Segment-reduce (di, lab) → Σw, then per-di argmax (tie → min label).
+    Returns (vertex_idx, winning_label) arrays."""
+    if len(di) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((lab, di))
+    d, l, ww = di[order], lab[order], w[order]
+    bound = np.empty(len(d), dtype=bool)
+    bound[0] = True
+    bound[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+    starts = np.flatnonzero(bound)
+    sums = np.add.reduceat(ww, starts)
+    gd, gl = d[starts], l[starts]
+    # winner per gd: sort by (gd, -sums, gl) and take first of each gd run
+    sel = np.lexsort((gl, -sums, gd))
+    gd_s, gl_s = gd[sel], gl[sel]
+    first = np.empty(len(gd_s), dtype=bool)
+    first[0] = True
+    first[1:] = gd_s[1:] != gd_s[:-1]
+    return gd_s[first], gl_s[first]
+
+
+@ray.remote
+def _lp_messages(shard: pa.Table, lab: np.ndarray):
+    """Per-shard partial: undirected messages (neighbor → vertex), combined
+    locally to (vertex, label) → Σw triples (map-side combine)."""
+    si = shard.column("si").to_numpy()
+    di = shard.column("di").to_numpy()
+    w = shard.column("w").to_numpy()
+    tgt = np.concatenate([di, si])
+    msg = np.concatenate([lab[si], lab[di]])
+    ww = np.concatenate([w, w])
+    if len(tgt) == 0:
+        return tgt, msg, ww
+    order = np.lexsort((msg, tgt))
+    t, m, x = tgt[order], msg[order], ww[order]
+    bound = np.empty(len(t), dtype=bool)
+    bound[0] = True
+    bound[1:] = (t[1:] != t[:-1]) | (m[1:] != m[:-1])
+    starts = np.flatnonzero(bound)
+    return t[starts], m[starts], np.add.reduceat(x, starts)
+
+
+def label_propagation(
+    graph: Graph,
+    iterations: int = 5,
+    checkpoint_root: str | None = None,
+    job: str = "lpa",
+) -> np.ndarray:
+    """Returns per-vertex community labels (vertex ids), aligned with
+    graph.vids. Stops early when a round changes nothing."""
+    V = graph.num_vertices
+    label = np.arange(V, dtype=np.int64)
+
+    ckpt = None
+    start = 0
+    if checkpoint_root is not None:
+        ckpt = CheckpointManager(
+            checkpoint_root, job, "lpa", lineage_key(graph.lineage, "sync-lpa", iterations)
+        )
+        latest = ckpt.latest()
+        if latest is not None:
+            label = (
+                ckpt.load(latest).column("_idx_label").to_numpy(zero_copy_only=False).copy()
+            )
+            start = latest + 1
+
+    for it in range(start, iterations):
+        lab_ref = ray.put(label)
+        parts = ray.get([_lp_messages.remote(s, lab_ref) for s in graph.shard_refs])
+        tgt = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        msg = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+        ww = np.concatenate([p[2] for p in parts]) if parts else np.empty(0)
+        verts, winners = _pick_labels(tgt, msg, ww, V)
+        nxt = label.copy()
+        nxt[verts] = winners
+        changed = int(np.count_nonzero(nxt != label))
+        label = nxt
+        if ckpt is not None:
+            ckpt.save(
+                it,
+                pa.table(
+                    {"id": graph.vids, "label": graph.vids[label], "_idx_label": label}
+                ),
+                {"changed": changed},
+            )
+        if changed == 0:
+            break
+    return graph.vids[label]

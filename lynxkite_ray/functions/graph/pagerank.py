@@ -1,0 +1,202 @@
+"""Weighted PageRank, reference-parity semantics (PageRank.scala:35-91):
+
+- edges with weight ≤ 0 are dropped (PageRank.scala:44; done at Graph build)
+- per-src weight normalization: w_norm = w / Σ_src w
+- init: pr = 1.0 for every vertex (total mass = N)
+- each iteration: incoming[dst] = damping · Σ pr[src]·w_norm
+  then pr = (N − Σ incoming)/N + incoming — the uniform term folds both the
+  teleport (1−damping) leak and dangling-vertex mass into one redistribution
+  (SURVEY §7.5.2; getting this exactly right is what keeps parity ≤ 1e-6)
+- fixed iteration count (reference default 5, damping 0.85,
+  GraphComputationOperations.scala:386-388); we additionally support an
+  early-stop tolerance on max |Δpr| (0 disables → exact reference parity).
+
+Dense path: per-iteration gather-scatter as Ray tasks over the pinned edge
+shards — the rank vector is ``ray.put`` once per iteration (broadcast), each
+shard task returns a per-shard dense partial (map-side combine via
+``np.bincount``), the driver sums partials (Σ over ~E/200k vectors).
+
+Dataset path (``pagerank_dataset``): arbitrary-V streaming variant — hash
+join ranks⋈edges on src + groupby(dst).sum per iteration.
+
+Per-iteration checkpointing + resume via state.checkpoint (north rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ...state.checkpoint import CheckpointManager, lineage_key
+from .core import Graph
+
+
+@ray.remote
+def _pr_contrib(shard: pa.Table, rank: np.ndarray, inv_wdeg: np.ndarray, damping: float, V: int):
+    si = shard.column("si").to_numpy()
+    di = shard.column("di").to_numpy()
+    w = shard.column("w").to_numpy()
+    contrib = damping * rank[si] * inv_wdeg[si] * w
+    return np.bincount(di, weights=contrib, minlength=V)
+
+
+def pagerank(
+    graph: Graph,
+    damping: float = 0.85,
+    iterations: int = 5,
+    tol: float = 0.0,
+    checkpoint_root: str | None = None,
+    job: str = "pagerank",
+) -> np.ndarray:
+    """Returns the rank vector aligned with ``graph.vids`` (Σ ranks = N)."""
+    V = graph.num_vertices
+    wdeg = ray.get(graph.wdeg_ref)
+    inv_wdeg = np.zeros(V, dtype=np.float64)
+    nz = wdeg > 0
+    inv_wdeg[nz] = 1.0 / wdeg[nz]
+    inv_ref = ray.put(inv_wdeg)
+
+    ckpt = None
+    start_iter = 0
+    rank = np.ones(V, dtype=np.float64)
+    if checkpoint_root is not None:
+        lineage = lineage_key(graph.lineage, damping, iterations, tol)
+        ckpt = CheckpointManager(checkpoint_root, job, "pagerank", lineage)
+        latest = ckpt.latest()
+        if latest is not None:
+            t = ckpt.load(latest)
+            rank = t.column("rank").to_numpy(zero_copy_only=False).copy()
+            start_iter = latest + 1
+
+    for it in range(start_iter, iterations):
+        rank_ref = ray.put(rank)
+        partials = ray.get(
+            [
+                _pr_contrib.remote(s, rank_ref, inv_ref, damping, V)
+                for s in graph.shard_refs
+            ]
+        )
+        incoming = np.sum(partials, axis=0) if partials else np.zeros(V)
+        total_incoming = float(incoming.sum())
+        new_rank = (V - total_incoming) / V + incoming
+        residual = float(np.max(np.abs(new_rank - rank))) if V else 0.0
+        rank = new_rank
+        if ckpt is not None:
+            ckpt.save(
+                it,
+                pa.table({"id": graph.vids, "rank": rank}),
+                {"residual": residual, "total_incoming": total_incoming},
+            )
+        if tol > 0 and residual < tol:
+            break
+    return rank
+
+
+def pagerank_dataset(
+    edges,
+    damping: float = 0.85,
+    iterations: int = 5,
+    num_partitions: int = 32,
+    weight_col: str | None = None,
+):
+    """Arbitrary-scale Dataset-only PageRank: no dense vector anywhere.
+
+    ranks and edges both live as Datasets; each iteration is
+    ranks ⋈ edges (hash join on src) → map_batches(contrib) →
+    groupby(dst).sum → left join onto the vertex set → uniform term.
+    The scalar Σincoming is a tiny aggregate. ~2 shuffles/iteration; the
+    dense path above avoids both, which is why it's preferred whenever the
+    vertex *ids* fit in memory. Semantics identical (same formula).
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ...stages.edges import vertices_from_edges, weighted_out_degree
+
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(cols)
+    if weight_col is None:
+        edges = edges.map_batches(
+            lambda t: t.append_column(
+                "weight", pa.array(np.ones(t.num_rows, dtype=np.float64))
+            ),
+            batch_format="pyarrow",
+        )
+        weight_col = "weight"
+    else:
+        edges = edges.map_batches(
+            lambda t: t.filter(pc.greater(t[weight_col], 0.0)), batch_format="pyarrow"
+        )
+
+    vertices = vertices_from_edges(edges).materialize()
+    N = vertices.count()
+    wdeg = weighted_out_degree(edges, weight_col)  # (src, wsum)
+    # normalize once: (src, dst, w_norm)
+    e = edges.join(wdeg, join_type="inner", num_partitions=num_partitions, on=("src",))
+    e = e.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "w_norm": pc.divide(t.column(weight_col), t.column("wsum")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = vertices.map_batches(
+        lambda t: pa.table(
+            {"id": t.column("id"), "rank": np.ones(t.num_rows, dtype=np.float64)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        contrib = e.join(
+            ranks.map_batches(
+                lambda t: t.rename_columns(["src", "rank"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "dst": t.column("dst"),
+                    "contrib": pc.multiply(
+                        pc.multiply(t.column("rank"), t.column("w_norm")),
+                        pa.scalar(damping),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        incoming = contrib.groupby("dst").aggregate(Sum("contrib", alias_name="incoming"))
+        total_incoming = incoming.sum("incoming") or 0.0
+        uniform = (N - total_incoming) / N
+        ranks = (
+            vertices.join(
+                incoming.map_batches(
+                    lambda t: t.rename_columns(["id", "incoming"]),
+                    batch_format="pyarrow",
+                ),
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("id",),
+            )
+            .map_batches(
+                lambda t, u=uniform: pa.table(
+                    {
+                        "id": t.column("id"),
+                        "rank": pc.add(
+                            pc.fill_null(t.column("incoming"), 0.0), pa.scalar(u)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return ranks

@@ -1,0 +1,62 @@
+"""Flagship pipeline: Common-Crawl-shaped pages → link extraction →
+deduplicated (src, dst) edge table → PageRank / components / LPA / triangles.
+
+This is the BASELINE.json north-star path end-to-end:
+read_parquet (column-pruned) → map_batches(LinkExtractor actor pool, html
+dropped immediately after parse) → (src, dst) dedup shuffle → pinned CSR
+shards → iterative gather-scatter with per-iteration checkpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray.data as rd
+
+from ..functions.graph import Graph, connected_components, pagerank
+from ..sources.pages import pages_parquet
+from ..stages.edges import links_to_edges, symmetrize
+from ..stages.extract import extract_links
+
+
+def build_edges(pages_ds, concurrency=None):
+    """pages Dataset → deduplicated (src, dst) edge Dataset.
+    Only url+html leave the read (column pruning happens at read_parquet in
+    the callers)."""
+    links = extract_links(pages_ds, concurrency=concurrency)
+    return links_to_edges(links)
+
+
+def flagship(
+    pages_path: str | None = None,
+    n_pages: int = 1000,
+    seed: int = 42,
+    damping: float = 0.85,
+    iterations: int = 5,
+    checkpoint_root: str | None = None,
+    with_components: bool = True,
+):
+    """Returns dict with the edge Dataset, the Graph handle, the rank vector
+    (+ component labels), and summary scalars."""
+    if pages_path is None:
+        pages_path = pages_parquet(n_pages, seed)
+    pages = rd.read_parquet(pages_path, columns=["url", "html"])
+    edges = build_edges(pages).materialize()
+    graph = Graph.from_edges(edges)
+    ranks = pagerank(
+        graph, damping=damping, iterations=iterations, checkpoint_root=checkpoint_root
+    )
+    out = {
+        "edges": edges,
+        "graph": graph,
+        "ranks": ranks,
+        "num_vertices": graph.num_vertices,
+        "num_edges": graph.num_edges,
+        "rank_sum": float(np.sum(ranks)),
+    }
+    if with_components:
+        sym = symmetrize(edges)
+        g2 = Graph.from_edges(sym, extra_vertices=graph.vids)
+        out["components"] = connected_components(g2, checkpoint_root=checkpoint_root)
+        out["num_components"] = int(len(np.unique(out["components"])))
+    return out

@@ -1,0 +1,207 @@
+"""HTML → (text, out-links) extraction.
+
+The reference imports edge tables and has no HTML parser of its own
+(DeriveHTMLPython.scala renders HTML *output*), so the north rule's
+"byte-identical extracted text per url" binds against the pinned single-node
+extractor defined HERE.  One implementation — ``extract_page`` — is used
+both as the in-process oracle (tests) and inside the distributed actor-pool
+stage (``LinkExtractor``), which is what makes byte-identity structural
+rather than aspirational.
+
+Distributed shape: a stateful callable class passed to
+``ds.map_batches(LinkExtractor, batch_format="pyarrow", concurrency=N)`` —
+parser tables and the URL normalizer are built once per actor
+(reference analog: per-partition loaded state, LookupRegion.scala:33).
+Heavy ``html`` bytes are dropped from the output batch immediately so
+downstream blocks stay small (SURVEY §7.5.6).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+from ..ids import hash64_array, normalize_url
+
+_SKIP_CONTENT = {"script", "style", "noscript", "template", "head"}
+_WS = re.compile(r"\s+")
+_CHARSET = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
+_SKIP_SCHEMES = {"javascript", "mailto", "data", "tel", "ftp"}
+
+
+class _Parser(HTMLParser):
+    """Collects visible text and <a href> values. Deterministic: stdlib
+    HTMLParser with convert_charrefs=True (entities decoded), no locale or
+    version-dependent behavior."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.hrefs: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_CONTENT:
+            self._skip_depth += 1
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+                    break
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_CONTENT and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self.chunks.append(data)
+
+
+def decode_html(raw: bytes) -> str:
+    """Pinned decoding: declared charset if recognizable, else utf-8,
+    falling back to latin-1 (which never fails)."""
+    m = _CHARSET.search(raw[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "ignore").lower()
+        if enc in ("utf-8", "utf8", "latin-1", "latin1", "iso-8859-1", "ascii"):
+            try:
+                return raw.decode("latin-1" if enc.startswith(("latin", "iso")) else "utf-8")
+            except UnicodeDecodeError:
+                pass
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def extract_page(url: str, raw_html: bytes) -> tuple[str, list[str]]:
+    """THE pinned extractor. Returns (text, normalized absolute out-links).
+
+    text = visible character data outside script/style/noscript/template/head,
+    whitespace runs collapsed to single spaces, stripped. Links are resolved
+    against ``url``, fragment-stripped, normalized; javascript:/mailto:/data:
+    etc. dropped; order preserved, duplicates kept (edge dedup is a separate
+    graph op — StripDuplicateEdgesFromBundle semantics, see stages/edges.py).
+    """
+    p = _Parser()
+    try:
+        p.feed(decode_html(raw_html))
+        p.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was parsed before the error
+    text = _WS.sub(" ", "".join(p.chunks)).strip()
+    links = []
+    for href in p.hrefs:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        try:
+            absu = urljoin(url, href)
+            scheme = urlsplit(absu).scheme
+        except ValueError:
+            continue
+        if scheme not in ("http", "https"):
+            continue
+        links.append(normalize_url(absu))
+    return text, links
+
+
+class LinkExtractor:
+    """Actor-pool stage: pages batch → links batch.
+
+    In:  (url: string, html: binary[, ...]) Arrow batch
+    Out: (src_url, src, dst_url, dst, text_len) — one row per extracted link,
+         plus one sentinel row with dst_url="" for link-less pages so every
+         crawled page still yields a vertex.
+
+    Use ``extract_text_stage`` for the (url, text) projection instead when
+    only text is needed.
+    """
+
+    def __init__(self) -> None:
+        # Parser class + regexes are module-level compiled once per process;
+        # the instance exists so map_batches runs this as an actor pool.
+        self._extract = extract_page
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        src_urls: list[str] = []
+        dst_urls: list[str] = []
+        text_lens: list[int] = []
+        for url, raw in zip(urls, htmls):
+            nurl = normalize_url(url)
+            text, links = self._extract(nurl, raw)
+            if not links:
+                links = [""]  # sentinel: page with no out-links (dangling)
+            src_urls.extend([nurl] * len(links))
+            dst_urls.extend(links)
+            text_lens.extend([len(text)] * len(links))
+        src = hash64_array(src_urls)
+        dst = np.where(
+            np.asarray([d == "" for d in dst_urls], dtype=bool),
+            np.int64(-1),
+            hash64_array(dst_urls),
+        )
+        return pa.table(
+            {
+                "src_url": pa.array(src_urls, type=pa.string()),
+                "src": pa.array(src),
+                "dst_url": pa.array(dst_urls, type=pa.string()),
+                "dst": pa.array(dst),
+                "text_len": pa.array(np.asarray(text_lens, dtype=np.int64)),
+            }
+        )
+
+
+class TextExtractor:
+    """Actor-pool stage: pages batch → (url, text) batch (byte-identity
+    surface vs the oracle; html column dropped on output)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts = [extract_page(normalize_url(u), h)[0] for u, h in zip(urls, htmls)]
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+
+def extract_links(pages_ds, *, concurrency=None, batch_size: int = 256):
+    """pages Dataset → links Dataset via the LinkExtractor actor pool.
+
+    batch_size is small because each row carries a full html payload
+    (wide-row hazard, SURVEY §7.5.6); concurrency defaults to Ray's
+    autoscaling pool.
+    """
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return pages_ds.map_batches(
+        LinkExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )
+
+
+def extract_texts(pages_ds, *, concurrency=None, batch_size: int = 256):
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return pages_ds.map_batches(
+        TextExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )

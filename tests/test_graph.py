@@ -1,0 +1,212 @@
+"""Differential tests of the flagship graph algorithms vs naive oracles on
+seeded random graphs + the reference's canonical fixtures (FIXTURES.md §3-5)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lynxkite_ray.functions.graph import (
+    Graph,
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from lynxkite_ray.functions.graph.pagerank import pagerank_dataset
+from lynxkite_ray.stages.edges import add_reversed_edges, symmetrize
+
+from .oracles import (
+    components_oracle,
+    lpa_oracle,
+    pagerank_oracle,
+    triangles_oracle,
+)
+
+
+def edges_ds(edges, weights=False):
+    t = {
+        "src": np.array([e[0] for e in edges], dtype=np.int64),
+        "dst": np.array([e[1] for e in edges], dtype=np.int64),
+    }
+    if weights:
+        t["weight"] = np.array([e[2] for e in edges], dtype=np.float64)
+    return rd.from_arrow(pa.table(t))
+
+
+def random_graph(n, avg_deg, seed, weighted=False):
+    rng = np.random.default_rng(seed)
+    m = int(n * avg_deg)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    seen = set()
+    edges = []
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if (s, d) in seen:
+            continue
+        seen.add((s, d))
+        w = float(rng.uniform(0.5, 3.0)) if weighted else 1.0
+        edges.append((s, d, w))
+    vertices = list(range(n))  # include isolated vertices
+    return edges, vertices
+
+
+# ---------------------------------------------------------------- PageRank
+
+
+@pytest.mark.parametrize("n,deg,seed", [(50, 2, 1), (200, 4, 2), (500, 1, 3)])
+def test_pagerank_matches_oracle(n, deg, seed):
+    edges, vertices = random_graph(n, deg, seed)
+    g = Graph.from_edges(edges_ds(edges), extra_vertices=np.arange(n))
+    ranks = pagerank(g, damping=0.85, iterations=5)
+    oracle = pagerank_oracle(edges, vertices, 0.85, 5)
+    want = np.array([oracle[v] for v in g.vids])
+    np.testing.assert_allclose(ranks, want, atol=1e-6)
+    assert abs(ranks.sum() - len(vertices)) < 1e-6  # mass conservation
+
+
+def test_pagerank_weighted_drops_nonpositive():
+    edges = [(0, 1, 2.0), (1, 2, 0.0), (2, 0, -1.0), (2, 1, 1.5), (3, 0, 1.0)]
+    g = Graph.from_edges(edges_ds(edges, weights=True), weight_col="weight",
+                         extra_vertices=np.arange(4))
+    ranks = pagerank(g, iterations=4)
+    kept = [e for e in edges if e[2] > 0]
+    oracle = pagerank_oracle(kept, range(4), 0.85, 4)
+    np.testing.assert_allclose(ranks, [oracle[v] for v in g.vids], atol=1e-9)
+
+
+def test_pagerank_dataset_path_matches_dense():
+    edges, vertices = random_graph(120, 3, 7)
+    ds = edges_ds(edges)
+    g = Graph.from_edges(ds)
+    dense = pagerank(g, iterations=4)
+    dist = pagerank_dataset(ds, iterations=4, num_partitions=4)
+    got = {r["id"]: r["rank"] for r in dist.take_all()}
+    np.testing.assert_allclose(dense, [got[v] for v in g.vids], atol=1e-9)
+
+
+def test_pagerank_example_graph_ordering():
+    # ExampleGraph PageRank(0.5, 3): Adam/Eve in (1,2); Bob/Joe in (0,1)
+    # (PageRankTest.scala:10-19) — weighted.
+    edges = [(0, 1, 1.0), (1, 0, 2.0), (2, 0, 3.0), (2, 1, 4.0)]
+    g = Graph.from_edges(edges_ds(edges, weights=True), weight_col="weight",
+                         extra_vertices=np.arange(4))
+    ranks = pagerank(g, damping=0.5, iterations=3)
+    r = dict(zip(g.vids.tolist(), ranks.tolist()))
+    assert 1 < r[0] < 2 and 1 < r[1] < 2
+    assert 0 < r[2] < 1 and 0 < r[3] < 1
+
+
+# ------------------------------------------------------- Connected components
+
+
+CC_CASES = [  # ConnectedComponentsTest.scala:48-75 fixtures (FIXTURES.md §4)
+    ({0: [], 1: [], 2: []}, 3),
+    ({0: [1, 2], 1: [0, 2], 2: [0, 1]}, 1),
+    ({0: [], 1: [2], 2: [1]}, 2),
+    ({0: [1], 1: [0, 2], 2: [1, 3], 3: [2]}, 1),
+]
+
+
+@pytest.mark.parametrize("adj,n_comp", CC_CASES)
+def test_cc_reference_fixtures(adj, n_comp):
+    edges = [(s, d, 1.0) for s, ds_ in adj.items() for d in ds_]
+    vertices = list(adj)
+    if edges:
+        g = Graph.from_edges(edges_ds(edges), extra_vertices=np.array(vertices))
+    else:
+        g = Graph.from_edges(
+            edges_ds([(v, v, 1.0) for v in vertices]), extra_vertices=np.array(vertices)
+        )
+    labels = connected_components(g)
+    oracle = components_oracle(edges, vertices)
+    assert labels.tolist() == [oracle[v] for v in g.vids]
+    assert len(set(labels.tolist())) == n_comp
+
+
+@pytest.mark.parametrize("n,deg,seed", [(300, 1, 11), (300, 2, 12), (1000, 1, 13)])
+def test_cc_matches_oracle_random(n, deg, seed):
+    edges, vertices = random_graph(n, deg, seed)
+    sym = symmetrize(edges_ds(edges))
+    g = Graph.from_edges(sym, extra_vertices=np.arange(n))
+    labels = connected_components(g)
+    oracle = components_oracle(edges, vertices)
+    assert labels.tolist() == [oracle[v] for v in g.vids]
+
+
+def test_cc_distributed_rounds_match_local(tmp_path):
+    # Force the shard-round path by lowering the local threshold.
+    import lynxkite_ray.functions.graph.components as comp
+
+    edges, vertices = random_graph(200, 2, 21)
+    sym = symmetrize(edges_ds(edges))
+    g = Graph.from_edges(sym, extra_vertices=np.arange(200))
+    local = connected_components(g)
+    old = comp.LOCAL_EDGE_THRESHOLD
+    comp.LOCAL_EDGE_THRESHOLD = 0
+    try:
+        dist = connected_components(g, checkpoint_root=str(tmp_path))
+    finally:
+        comp.LOCAL_EDGE_THRESHOLD = old
+    assert dist.tolist() == local.tolist()
+
+
+# ------------------------------------------------------------------- LPA
+
+
+def test_lpa_two_cliques_bridge():
+    cl1 = [(a, b, 1.0) for a in range(5) for b in range(5) if a < b]
+    cl2 = [(a, b, 1.0) for a in range(5, 10) for b in range(5, 10) if a < b]
+    bridge = [(4, 5, 1.0)]
+    edges = cl1 + cl2 + bridge
+    g = Graph.from_edges(edges_ds(edges, weights=True), weight_col="weight")
+    labels = label_propagation(g, iterations=10)
+    lab = dict(zip(g.vids.tolist(), labels.tolist()))
+    assert len({lab[v] for v in range(5)}) == 1
+    assert len({lab[v] for v in range(5, 10)}) == 1
+
+
+@pytest.mark.parametrize("n,deg,seed,iters", [(100, 3, 31, 4), (300, 5, 32, 5)])
+def test_lpa_matches_oracle_random(n, deg, seed, iters):
+    edges, vertices = random_graph(n, deg, seed, weighted=True)
+    # engine consumes each (src,dst,w) once as an undirected contribution
+    g = Graph.from_edges(edges_ds(edges, weights=True), weight_col="weight",
+                         extra_vertices=np.arange(n))
+    labels = label_propagation(g, iterations=iters)
+    oracle = lpa_oracle([e for e in edges if e[2] > 0], vertices, iterations=iters)
+    assert labels.tolist() == [oracle[v] for v in g.vids]
+
+
+# --------------------------------------------------------------- Triangles
+
+
+TRI_CASES = [  # FIXTURES.md §4 triangle fixtures
+    ([(0, 1), (1, 2), (2, 0)], 1),
+    ([(0, 1), (1, 2), (2, 0), (2, 3)], 1),
+    ([(0, 1), (1, 2), (2, 0), (1, 3), (2, 3)], 2),
+    ([(0, 1), (1, 2), (2, 3), (3, 0)], 0),
+    # parallel + self-loop edges must not change counts
+    ([(0, 1), (0, 1), (1, 0), (1, 1), (1, 2), (2, 0)], 1),
+]
+
+
+@pytest.mark.parametrize("edges,count", TRI_CASES)
+def test_triangle_fixtures(edges, count):
+    assert triangle_count(edges_ds([(s, d, 1.0) for s, d in edges])) == count
+
+
+@pytest.mark.parametrize("n,deg,seed", [(60, 4, 41), (150, 6, 42)])
+def test_triangles_match_oracle_random(n, deg, seed):
+    edges, _ = random_graph(n, deg, seed)
+    assert triangle_count(edges_ds(edges)) == triangles_oracle(edges)
+
+
+@pytest.mark.parametrize("n,deg,seed", [(80, 5, 51)])
+def test_triangles_distributed_matches_local(n, deg, seed):
+    from lynxkite_ray.functions.graph.triangles import _triangles_distributed
+    from lynxkite_ray.stages.edges import canonical_edges
+
+    edges, _ = random_graph(n, deg, seed)
+    canon = canonical_edges(edges_ds(edges))
+    assert _triangles_distributed(canon, per_vertex=False, num_partitions=4) == \
+        triangles_oracle(edges)
