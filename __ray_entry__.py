@@ -197,18 +197,68 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     _configure()
+    from lynxkite_ray.pipelines import relational as R
+
     return {
+        # graph operators (co-purchase part graph)
         "copurchase_edges": _q_edges,
         "degree": _q_degree,
         "pagerank": _q_pagerank,
         "connected_components": _q_components,
         "label_propagation": _q_lpa,
         "triangle_count": _q_triangles,
+        # relational operator battery
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "filter_project_revenue": R.filter_project_revenue,
+        "count_distinct_parts": R.count_distinct_parts_per_supplier,
+        "join_orders_customers": R.join_orders_customers,
+        "hash_join_supplier_nation": R.hash_join_supplier_nation,
+        "semi_join_building_orders": R.semi_join_building_orders,
+        "anti_join_customers_without_orders": R.anti_join_customers_without_orders,
+        "top_brands": R.top_brands,
+        "histogram_acctbal": R.histogram_acctbal,
+        "ranking_customers": R.ranking_customers,
+        "sort_limit_orders": R.sort_limit_orders,
+        "distinct_segments": R.distinct_segments,
+        "union_entity_keys": R.union_entity_keys,
+        "merge_by_segment": R.merge_by_segment,
+        "global_stats_acctbal": R.global_stats_acctbal,
+        "weighted_avg_price": R.weighted_avg_price,
+        "most_common_priority": R.most_common_priority,
+        "hash_supplier_names": R.hash_supplier_names,
+        "convert_floor_total": R.convert_floor_total,
+        "events_tumbling_hour": R.events_tumbling_hour,
+        "event_type_stats": R.event_type_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from lynxkite_ray.pipelines import relational as R
+
+    rel = {
+        "q1_pricing_summary": R.Q1_SQL,
+        "filter_project_revenue": R.FILTER_PROJECT_SQL,
+        "count_distinct_parts": R.COUNT_DISTINCT_SQL,
+        "join_orders_customers": R.JOIN_ORDERS_SQL,
+        "hash_join_supplier_nation": R.HASH_JOIN_SQL,
+        "semi_join_building_orders": R.SEMI_JOIN_SQL,
+        "anti_join_customers_without_orders": R.ANTI_JOIN_SQL,
+        "top_brands": R.TOP_BRANDS_SQL,
+        "histogram_acctbal": R.HISTOGRAM_SQL,
+        "ranking_customers": R.RANKING_SQL,
+        "sort_limit_orders": R.SORT_LIMIT_SQL,
+        "distinct_segments": R.DISTINCT_SQL,
+        "union_entity_keys": R.UNION_SQL,
+        "merge_by_segment": R.MERGE_SQL,
+        "global_stats_acctbal": R.GLOBAL_STATS_SQL,
+        "weighted_avg_price": R.WEIGHTED_AVG_SQL,
+        "most_common_priority": R.MOST_COMMON_SQL,
+        "hash_supplier_names": R.HASH_SQL,
+        "convert_floor_total": R.CONVERT_SQL,
+        "events_tumbling_hour": R.EVENTS_TUMBLING_SQL,
+        "event_type_stats": R.EVENT_TYPE_SQL,
+    }
+    return rel | {
         "copurchase_edges": (
             "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
             "FROM lineitem a JOIN lineitem b "

@@ -1,0 +1,157 @@
+"""Aggregator library — the Aggregate.scala:316-560 item list re-expressed
+as Ray ``AggregateFnV2`` subclasses (partial-per-block + merge = the
+reference's ``aggregateRDD`` tree aggregation, Aggregate.scala:190-241).
+
+Built-ins reused from ray.data.aggregate: Count, Sum, Min, Max, Mean, Std,
+Quantile (Median), AbsMax, Unique (AsSet).  Added here: CountDistinct,
+MostCommon (deterministic: max count, tie → smallest value), First (by
+explicit order column), WeightedAverage helper, and a vectorized top-k
+values helper (ComputeTopValues, BasicStats.scala:232)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import AggregateFnV2, Count, Sum
+from ray.data.block import Block, BlockAccessor
+
+
+class CountDistinct(AggregateFnV2):
+    """Exact distinct count (CountDistinct, Aggregate.scala; exact — the
+    HLL sketch variant is the scale path for ultra-high cardinalities)."""
+
+    def __init__(self, on: str, alias_name: str | None = None):
+        super().__init__(
+            alias_name or f"count_distinct({on})", on=on, ignore_nulls=True,
+            zero_factory=set,
+        )
+
+    def aggregate_block(self, block: Block):
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        return set(pc.unique(col).to_pylist())
+
+    def combine(self, acc, new):
+        a = acc if isinstance(acc, set) else set(acc)
+        b = new if isinstance(new, set) else set(new)
+        return a | b
+
+    def finalize(self, acc):
+        return len(acc)
+
+
+class MostCommon(AggregateFnV2):
+    """Most frequent value per group; deterministic tie-break = smallest
+    value (Aggregate.scala MostCommon; the reference's is arbitrary-on-tie,
+    we pin it for verifiability)."""
+
+    def __init__(self, on: str, alias_name: str | None = None):
+        super().__init__(
+            alias_name or f"most_common({on})", on=on, ignore_nulls=True,
+            zero_factory=Counter,
+        )
+
+    def aggregate_block(self, block: Block):
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        vc = col.value_counts()
+        return Counter(
+            dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+        )
+
+    def combine(self, acc, new):
+        a = acc if isinstance(acc, Counter) else Counter(acc)
+        b = new if isinstance(new, Counter) else Counter(new)
+        a.update(b)
+        return a
+
+    def finalize(self, acc):
+        if not acc:
+            return None
+        return min(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+
+class FirstBy(AggregateFnV2):
+    """Value of ``on`` at the smallest ``order_col`` in the group —
+    deterministic First (Aggregate.scala First is partition-order dependent;
+    pinned by an explicit ordering here)."""
+
+    def __init__(self, on: str, order_col: str, alias_name: str | None = None):
+        self._order_col = order_col
+        super().__init__(
+            alias_name or f"first({on})", on=on, ignore_nulls=True,
+            zero_factory=lambda: None,
+        )
+
+    def aggregate_block(self, block: Block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        if t.num_rows == 0:
+            return None
+        o = t.column(self._order_col).to_numpy(zero_copy_only=False)
+        i = int(np.argmin(o))
+        return (o[i], t.column(self._target_col_name)[i].as_py())
+
+    def combine(self, acc, new):
+        if acc is None:
+            return new
+        if new is None:
+            return acc
+        return acc if acc[0] <= new[0] else new
+
+    def finalize(self, acc):
+        return None if acc is None else acc[1]
+
+
+def weighted_average(
+    ds: Dataset, key, value_col: str, weight_col: str, out: str = "weighted_avg"
+) -> Dataset:
+    """Σ(w·x)/Σw per key (WeightedAverage, Aggregate.scala) — two Sums over
+    a computed product column, finalized vectorized."""
+    prod = ds.map_batches(
+        lambda t: t.append_column("_wx", pc.multiply(t[value_col], t[weight_col])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = prod.groupby(key).aggregate(
+        Sum("_wx", alias_name="_swx"), Sum(weight_col, alias_name="_sw")
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(out, pc.divide(t["_swx"], t["_sw"])).drop_columns(
+            ["_swx", "_sw"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_values(ds: Dataset, col: str, k: int) -> Dataset:
+    """ComputeTopValues (BasicStats.scala:232): k most frequent values,
+    deterministic order (count desc, value asc). groupby-count shuffle is
+    pre-combined per block by Arrow value_counts."""
+
+    def precount(t: pa.Table) -> pa.Table:
+        vc = t.column(col).value_counts()
+        return pa.table({col: vc.field("values"), "_c": vc.field("counts")})
+
+    partial = ds.select_columns([col]).map_batches(
+        precount, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = partial.groupby(col).aggregate(Sum("_c", alias_name="cnt"))
+    return counts.sort(["cnt", col], descending=[True, False]).limit(k)
+
+
+def global_stats(ds: Dataset, col: str) -> dict:
+    """AggregateAttributeToScalar analog: one streaming pass → scalars."""
+    from ray.data.aggregate import Max, Mean, Min, Std
+
+    row = ds.aggregate(
+        Count(on=col, alias_name="count"),
+        Sum(col, alias_name="sum"),
+        Min(col, alias_name="min"),
+        Max(col, alias_name="max"),
+        Mean(col, alias_name="mean"),
+        Std(col, alias_name="std"),
+    )
+    return dict(row)

@@ -1,0 +1,516 @@
+"""Relational operator battery over the driver's TPC-H-ish tables — each
+function is a ``queries()`` entry with an exact DuckDB oracle in
+__ray_entry__.oracle_sql().
+
+Exactness discipline: money columns are integerized (cents / 1e-4 units)
+BEFORE summing, so Ray and DuckDB sums are exact integers regardless of
+summation order — no float-rounding coin flips in the value-hash gate.
+Doubles that must stay double (mean/std) are rounded on both sides with an
+error budget ≫ float noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+from ..functions.aggregates import (
+    CountDistinct,
+    MostCommon,
+    top_values,
+    weighted_average,
+)
+from ..stages.join import anti_join, broadcast_join, semi_join
+from ..stages.transform import bucket_double, filter_batches, hash_column, ranking
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr, scale: int = 100) -> pa.Array:
+    """Exact integerization of a 2-decimal money double."""
+    return pc.cast(pc.round(pc.multiply(arr, float(scale))), pa.int64())
+
+
+# ---------------------------------------------------------------- lineitem
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter on ship date, groupby flag/status, exact-int
+    money sums (ExecuteSQL / Aggregate analog)."""
+    from datetime import datetime
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    li = filter_batches(
+        li, lambda t: pc.less_equal(t["l_shipdate"], pa.scalar(datetime(1998, 9, 2)))
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        base_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])  # 0.00-0.10 → 0-10 (scale 100)
+        disc_e4 = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "base_cents": base_c,
+                "disc_e4": disc_e4,
+            }
+        )
+
+    g = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = g.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="sum_base_cents"),
+        Sum("disc_e4", alias_name="sum_disc_e4"),
+        Count(alias_name="n_rows"),
+    )
+    return out.map_batches(
+        lambda t: t.append_column(
+            "avg_qty", pc.divide(pc.cast(t["sum_qty"], pa.float64()), pc.cast(t["n_rows"], pa.float64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+       COUNT(*) AS n_rows,
+       SUM(CAST(l_quantity AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def filter_project_revenue(sf_dir: str):
+    """Vectorized filter + computed projection (AttributeFilters + Derive)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    li = filter_batches(
+        li,
+        lambda t: pc.and_(
+            pc.greater(t["l_quantity"], 45.0), pc.less(t["l_discount"], 0.05)
+        ),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue_e4": rev,
+            }
+        )
+
+    return li.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS revenue_e4
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+"""
+
+
+def count_distinct_parts_per_supplier(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return li.groupby("l_suppkey").aggregate(CountDistinct("l_partkey", "n_parts"))
+
+
+COUNT_DISTINCT_SQL = (
+    "SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts "
+    "FROM lineitem GROUP BY l_suppkey"
+)
+
+
+# ------------------------------------------------------------ joins
+
+
+def join_orders_customers(sf_dir: str):
+    """Broadcast join (customer is the small side) + grouped exact sums."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
+    )
+
+    def prep(df):
+        df["total_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        return df[["c_mktsegment", "total_cents"]]
+
+    g = j.map_batches(prep, batch_format="pandas")
+    return g.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
+    )
+
+
+JOIN_ORDERS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def hash_join_supplier_nation(sf_dir: str):
+    """Hash-partitioned Dataset.join (both sides as Datasets)."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nat = nat.map_batches(
+        lambda t: pa.table(
+            {"s_nationkey": pc.cast(t["n_nationkey"], pa.int32()), "n_name": t["n_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j = sup.join(nat, join_type="inner", num_partitions=4, on=("s_nationkey",))
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "n_name": t["n_name"],
+                "acctbal_cents": _cents(t["s_acctbal"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+HASH_JOIN_SQL = """
+SELECT s_suppkey, n_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def semi_join_building_orders(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = filter_batches(
+        cust, lambda t: pc.equal(t["c_mktsegment"], "BUILDING")
+    ).select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = semi_join(orders, keys, on="o_custkey", key_col="c_custkey")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "total_cents": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders WHERE o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def anti_join_customers_without_orders(sf_dir: str):
+    """Customers with no big-ticket order (threshold keeps the result
+    non-empty on the dense synthetic data)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = filter_batches(
+        orders, lambda t: pc.greater(t["o_totalprice"], 300000.0)
+    ).select_columns(["o_custkey"])
+    return anti_join(cust, big, on="c_custkey", key_col="o_custkey")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+# ------------------------------------------------- aggregation / stats
+
+
+def top_brands(sf_dir: str):
+    return top_values(_read(sf_dir, "part", ["p_brand"]), "p_brand", 5)
+
+
+TOP_BRANDS_SQL = """
+SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand
+ORDER BY cnt DESC, p_brand ASC LIMIT 5
+"""
+
+
+def histogram_acctbal(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_acctbal"])
+    b = bucket_double(cust, "c_acctbal", -1000.0, 10000.0, 11, out="bucket")
+    return b.groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+HISTOGRAM_SQL = """
+SELECT LEAST(GREATEST(CAST(FLOOR((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT), 0), 10)
+         AS bucket,
+       COUNT(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
+def ranking_customers(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    r = ranking(cust, ["c_acctbal", "c_custkey"], out="rank", descending=[True, False])
+    return r.map_batches(
+        lambda t: t.append_column("rank64", pc.cast(t["rank"], pa.int64())).drop_columns(
+            ["rank", "c_acctbal"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+RANKING_SQL = """
+SELECT c_custkey,
+       ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rank64
+FROM customer
+"""
+
+
+def sort_limit_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "total_cents": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_mktsegment"])
+    return cust.groupby("c_mktsegment").aggregate(Count(alias_name="_n")).select_columns(
+        ["c_mktsegment"]
+    )
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def union_entity_keys(sf_dir: str):
+    """VertexSetUnion analog: customer ∪ supplier key spaces (distinct)."""
+    c = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    s = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    return c.union(s).groupby("id").aggregate(Count(alias_name="_n")).select_columns(["id"])
+
+
+UNION_SQL = (
+    "SELECT c_custkey AS id FROM customer UNION SELECT s_suppkey AS id FROM supplier"
+)
+
+
+def merge_by_segment(sf_dir: str):
+    """MergeVertices.scala:36-75 analog with the pinned deterministic
+    representative = min id."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return cust.groupby("c_mktsegment").aggregate(
+        Min("c_custkey", alias_name="representative"),
+        Count(alias_name="size"),
+    )
+
+
+MERGE_SQL = """
+SELECT c_mktsegment, MIN(c_custkey) AS representative, COUNT(*) AS size
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def global_stats_acctbal(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_acctbal"])
+    row = cust.aggregate(
+        Count(on="c_acctbal", alias_name="n"),
+        Min("c_acctbal", alias_name="min_bal"),
+        Max("c_acctbal", alias_name="max_bal"),
+        Mean("c_acctbal", alias_name="mean_bal"),
+        Std("c_acctbal", alias_name="std_bal"),
+    )
+    return pa.table(
+        {
+            "n": pa.array([row["n"]], pa.int64()),
+            "min_bal": pa.array([row["min_bal"]], pa.float64()),
+            "max_bal": pa.array([row["max_bal"]], pa.float64()),
+            "mean_bal": pa.array([round(row["mean_bal"], 4)], pa.float64()),
+            "std_bal": pa.array([round(row["std_bal"], 4)], pa.float64()),
+        }
+    )
+
+
+GLOBAL_STATS_SQL = """
+SELECT COUNT(c_acctbal) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+       ROUND(AVG(c_acctbal), 4) AS mean_bal, ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal
+FROM customer
+"""
+
+
+def weighted_avg_price(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    part = part.map_batches(
+        lambda t: t.append_column("w", pc.cast(t["p_size"], pa.float64())),
+        batch_format="pyarrow",
+    )
+    out = weighted_average(part, "p_brand", "p_retailprice", "w", out="wavg")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"p_brand": t["p_brand"], "wavg": pc.round(t["wavg"], ndigits=4)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+WEIGHTED_AVG_SQL = """
+SELECT p_brand,
+       ROUND(SUM(p_retailprice * p_size::DOUBLE) / SUM(p_size::DOUBLE), 4) AS wavg
+FROM part GROUP BY p_brand
+"""
+
+
+def most_common_priority(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    return j.groupby("c_mktsegment").aggregate(
+        MostCommon("o_orderpriority", "top_priority")
+    )
+
+
+MOST_COMMON_SQL = """
+SELECT c_mktsegment, top_priority FROM (
+  SELECT c_mktsegment, o_orderpriority AS top_priority,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+) WHERE rn = 1
+"""
+
+
+def hash_supplier_names(sf_dir: str):
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return hash_column(sup, "s_name", salt="s1", out="name_hash").select_columns(
+        ["s_suppkey", "name_hash"]
+    )
+
+
+HASH_SQL = "SELECT s_suppkey, sha256('s1' || s_name) AS name_hash FROM supplier"
+
+
+def convert_floor_total(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "total_floor": pc.cast(pc.floor(t["o_totalprice"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+CONVERT_SQL = (
+    "SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS total_floor FROM orders"
+)
+
+
+# ------------------------------------------------------------- events
+
+
+def events_tumbling_hour(sf_dir: str):
+    """Tumbling 1-hour window per user (streaming-shaped workload on the
+    ordered log — SURVEY §2.10: batch semantics, window = truncated ts)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": pc.cast(
+                    pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us")
+                ),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    g = ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    agg = g.groupby(["user_id", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents")
+    )
+    # Ray's shuffle may narrow the timestamp unit; pin [us] to match DuckDB.
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def event_type_stats(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    ev = ev.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "value_cents": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return ev.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value_cents", alias_name="sum_cents"),
+        Max("value_cents", alias_name="max_cents"),
+    )
+
+
+EVENT_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+FROM events GROUP BY event_type
+"""

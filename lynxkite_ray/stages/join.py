@@ -1,0 +1,124 @@
+"""Join strategies (SURVEY §2.6):
+
+- ``hash_join`` — Ray Data's hash-partitioned ``Dataset.join`` (the
+  sortedJoin analog; both sides large).
+- ``broadcast_join`` — small side ``ray.put`` ONCE, pandas-merged inside
+  ``map_batches`` per block (HybridRDD.smallTableLookup analog,
+  HybridRDD.scala:95-100): no shuffle of the big side.
+- ``semi_join`` / ``anti_join`` — broadcast key-set membership filter
+  (FilterByTable.scala:19 / NotFilter composition), vectorized with
+  ``pyarrow.compute.is_in``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on,
+    how: str = "inner",
+    num_partitions: int = 16,
+    right_on=None,
+) -> Dataset:
+    kind = {
+        "inner": "inner",
+        "left": "left_outer",
+        "right": "right_outer",
+        "outer": "full_outer",
+    }[how]
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (
+        None
+        if right_on is None
+        else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    )
+    return left.join(
+        right, join_type=kind, num_partitions=num_partitions, on=on, right_on=right_on
+    )
+
+
+# Per-worker-process cache of deserialized broadcast tables, so stateless
+# tasks don't re-deserialize the small side per batch.  Keyed by ObjectRef
+# hex; tiny by construction (broadcast sides are small).
+_BCAST_CACHE: dict = {}
+
+
+def _fetch_small(small_ref):
+    key = small_ref.hex()
+    if key not in _BCAST_CACHE:
+        small = ray.get(small_ref)
+        if isinstance(small, pa.Table):
+            small = small.to_pandas()
+        _BCAST_CACHE[key] = small
+    return _BCAST_CACHE[key]
+
+
+def broadcast_join(
+    big: Dataset, small, on, how: str = "inner", right_on=None, concurrency=None
+) -> Dataset:
+    """``small`` is a pandas DataFrame / Arrow table (or a Dataset small
+    enough to collect). Shipped to the object store once; every block of
+    ``big`` merges against it locally — the skew-immune small-side path."""
+    import pandas as pd
+
+    if isinstance(small, Dataset):
+        small = small.to_pandas()
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = [right_on] if isinstance(right_on, str) else right_on
+    ref = ray.put(small)
+    right_cols = right_on
+
+    def merge(batch):
+        sm = _fetch_small(ref)
+        merged = batch.merge(sm, how=how, left_on=on, right_on=right_cols or on)
+        if right_cols and right_cols != on:
+            merged = merged.drop(columns=[c for c in right_cols if c not in on])
+        return merged
+
+    # Stateless tasks (not an actor pool): the broadcast side is fetched
+    # from the object store per worker via _fetch_small's cache, and tasks
+    # never starve the upstream read stage of CPUs.
+    return big.map_batches(merge, batch_format="pandas")
+
+
+def _key_set(keys_ds: Dataset, col: str) -> np.ndarray:
+    parts = [
+        b.column(col).to_numpy(zero_copy_only=False)
+        for b in keys_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.array([])
+
+
+def semi_join(big: Dataset, keys, on: str, key_col: str | None = None) -> Dataset:
+    """Keep rows of ``big`` whose ``on`` appears in ``keys`` (broadcast
+    membership, no shuffle)."""
+    key_col = key_col or on
+    vals = _key_set(keys, key_col) if isinstance(keys, Dataset) else np.asarray(keys)
+    ref = ray.put(vals)
+
+    def body(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        return t.filter(pc.is_in(t[on], value_set=pa.array(vs)))
+
+    return big.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join(big: Dataset, keys, on: str, key_col: str | None = None) -> Dataset:
+    key_col = key_col or on
+    vals = _key_set(keys, key_col) if isinstance(keys, Dataset) else np.asarray(keys)
+    ref = ray.put(vals)
+
+    def body(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        return t.filter(pc.invert(pc.is_in(t[on], value_set=pa.array(vs))))
+
+    return big.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
