@@ -198,6 +198,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     _configure()
     from lynxkite_ray.pipelines import relational as R
+    from lynxkite_ray.pipelines import textops as TX
+    from lynxkite_ray.pipelines import flagship as FS
 
     return {
         # graph operators (co-purchase part graph)
@@ -229,13 +231,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_floor_total": R.convert_floor_total,
         "events_tumbling_hour": R.events_tumbling_hour,
         "event_type_stats": R.event_type_stats,
+        # text / dedup / similarity suite
+        "text_stats": TX.q_text_stats,
+        "quality_signals": TX.q_quality,
+        "exact_dedup": TX.q_exact_dedup,
+        "jaccard_pairs": TX.q_jaccard_pairs,
+        "embedding_neardup": TX.q_embedding_neardup,
+        "ann_threshold": TX.q_ann_threshold,
+        "language_id": TX.q_language_id,
+        "fingerprints": TX.q_fingerprints,
+        "simhash": TX.q_simhash,
+        "minhash_dedup": TX.q_minhash_dedup,
+        "ann_topk": TX.q_ann_topk,
+        "ann_lsh": TX.q_ann_lsh,
+        "media_features": TX.q_media_features,
+        # pages flagship (north-star pipeline; rows-only — see pytest suite)
+        "pages_flagship": FS.q_pages_flagship,
+        "pages_extract_text": FS.q_pages_extract_text,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from lynxkite_ray.pipelines import relational as R
+    from lynxkite_ray.pipelines import textops as TX
 
     rel = {
+        "text_stats": TX.TEXT_STATS_SQL,
+        "quality_signals": TX.QUALITY_SQL,
+        "exact_dedup": TX.EXACT_DEDUP_SQL,
+        "jaccard_pairs": TX.JACCARD_SQL,
+        "embedding_neardup": TX.EMB_NEARDUP_SQL,
+        "ann_threshold": TX.ANN_THRESHOLD_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "filter_project_revenue": R.FILTER_PROJECT_SQL,
         "count_distinct_parts": R.COUNT_DISTINCT_SQL,

@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (list<float>):
+
+- ``ann_bruteforce`` — exact top-k cosine: per-block numpy matmul against a
+  broadcast query matrix, per-block partial top-k (map-side combine), final
+  exact merge per query.  The baseline every approximate method is judged
+  against.
+- ``ann_threshold`` — all matches ≥ threshold (set-stable → SQL-verifiable,
+  no rank-tie coin flips).
+- ``ann_lsh`` — random-hyperplane LSH buckets: sub-quadratic scale path;
+  signatures per batch, candidates from same-bucket probes across tables,
+  exact re-rank of candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ..util import round_away
+
+
+def _collect_queries(ds: Dataset, query_ids, vec_col: str, id_col: str):
+    import pyarrow.compute as pc
+
+    q = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    )
+    ids, vecs = [], []
+    for b in q.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        ids.extend(b[id_col].to_pylist())
+        vecs.extend(b[vec_col].to_pylist())
+    order = np.argsort(ids)
+    Q = np.array(vecs, dtype=np.float64)[order]
+    qid = np.array(ids, dtype=np.int64)[order]
+    return qid, Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+
+class _BlockTopK:
+    """Per-block partial top-k against the broadcast query matrix."""
+
+    def __init__(self, qref, k, vec_col, id_col):
+        self.qid, self.Qn = ray.get(qref)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy()
+        V = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = self.Qn @ Vn.T  # (q, block)
+        # exclude self-matches
+        k = min(self.k, S.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            row = S[qi].copy()
+            row[ids == self.qid[qi]] = -np.inf
+            top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            out_q.append(np.full(len(top), self.qid[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(row[top])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_v),
+                "cos": np.concatenate(out_s),
+            }
+        )
+
+
+def ann_bruteforce(
+    ds: Dataset,
+    query_ids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+    Deterministic tie-break: higher cos first, then smaller neighbor_id."""
+    qid, Qn = _collect_queries(ds, list(query_ids), vec_col, id_col)
+    qref = ray.put((qid, Qn))
+    partial = ds.map_batches(
+        _BlockTopK,
+        fn_constructor_args=(qref, k, vec_col, id_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def merge(df):
+        df = df.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.copy()
+        df["cos"] = round_away(df["cos"], 6)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ann_threshold(
+    ds: Dataset,
+    query_ids,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """All (query_id, neighbor_id, cos) with cos ≥ threshold, self excluded —
+    the SQL-verifiable variant (set semantics, no rank ties)."""
+    import pyarrow.compute as pc
+
+    qid, Qn = _collect_queries(ds, list(query_ids), vec_col, id_col)
+    qref = ray.put((qid, Qn))
+
+    def body(t: pa.Table) -> pa.Table:
+        qids, Q = ray.get(qref)
+        ids = t.column(id_col).to_numpy()
+        V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Q @ Vn.T
+        qi, vi = np.nonzero(S >= threshold)
+        keep = qids[qi] != ids[vi]
+        return pa.table(
+            {
+                "query_id": qids[qi][keep],
+                "neighbor_id": ids[vi][keep],
+                "cos": round_away(S[qi, vi][keep], 6),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _HyperplaneSigner:
+    """Random-hyperplane signature stage (seeded, built once per actor)."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int, vec_col: str, id_col: str):
+        rng = np.random.default_rng(seed)
+        self.H = rng.standard_normal((dim, n_planes))
+        self.bits = (1 << np.arange(n_planes, dtype=np.int64))
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        V = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        sig = ((V @ self.H) > 0) @ self.bits
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "bucket": sig.astype(np.int64),
+            }
+        )
+
+
+def ann_lsh(
+    ds: Dataset,
+    query_ids,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Approximate top-k: probe only vectors whose hyperplane bucket matches
+    a query bucket, exact re-rank inside the probed set.  Recall < 1 by
+    construction; the scale path for 10^9+ rows (bucket groupby instead of
+    full matmul). Returns (query_id, neighbor_id, cos, rank)."""
+    import pyarrow.compute as pc
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    signer_kwargs = dict(
+        dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    sigs = ds.map_batches(
+        _HyperplaneSigner,
+        fn_constructor_kwargs=signer_kwargs,
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    # query buckets (small driver-side set)
+    qsig = {}
+    s = _HyperplaneSigner(**signer_kwargs)
+    qid, Qn = _collect_queries(ds, list(query_ids), vec_col, id_col)
+    qb = ((Qn @ s.H) > 0) @ s.bits
+    for q, b in zip(qid.tolist(), qb.tolist()):
+        qsig.setdefault(int(b), []).append(int(q))
+    bucket_set = pa.array(sorted(qsig), pa.int64())
+
+    probed = sigs.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=bucket_set)),
+        batch_format="pyarrow",
+    )
+    probe_ids = [
+        i
+        for b in probed.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        for i in b[id_col].to_pylist()
+    ]
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(probe_ids))),
+        batch_format="pyarrow",
+    )
+    return ann_bruteforce(sub, list(qid), k, vec_col, id_col)

@@ -19,7 +19,7 @@ from ..stages.edges import links_to_edges, symmetrize
 from ..stages.extract import extract_links
 
 
-def build_edges(pages_ds, concurrency=None):
+def build_edges(pages_ds, concurrency=(1, 8)):
     """pages Dataset → deduplicated (src, dst) edge Dataset.
     Only url+html leave the read (column pruning happens at read_parquet in
     the callers)."""
@@ -60,3 +60,37 @@ def flagship(
         out["components"] = connected_components(g2, checkpoint_root=checkpoint_root)
         out["num_components"] = int(len(np.unique(out["components"])))
     return out
+
+
+def _sf_pages(sf_dir: str) -> int:
+    """Deterministic page count per driver scale factor."""
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        sf = 0.01
+    return max(200, int(200_000 * sf))
+
+
+def q_pages_flagship(sf_dir: str):
+    """Rows-only driver query: full pages → extract → edges → PageRank
+    (the pages graph is not expressible over the SQL views; correctness is
+    pinned by the pytest differential suite instead)."""
+    import pyarrow as pa
+
+    res = flagship(n_pages=_sf_pages(sf_dir), with_components=False)
+    from ..util import round_away
+
+    return pa.table(
+        {"id": res["graph"].vids, "rank": round_away(res["ranks"], 6)}
+    )
+
+
+def q_pages_extract_text(sf_dir: str):
+    """Rows-only driver query: distributed text extraction (byte-identity
+    with the pinned oracle is asserted in tests/test_extract.py)."""
+    from ..stages.extract import extract_texts
+
+    path = pages_parquet(_sf_pages(sf_dir), 42)
+    pages = rd.read_parquet(path, columns=["url", "html"])
+    return extract_texts(pages)

@@ -1,0 +1,155 @@
+"""queries() wrappers for the text / dedup / similarity operator suite over
+the driver's documents + embeddings tables, with DuckDB oracles where the
+semantics are SQL-expressible (the MinHash/SimHash/LSH family is
+deterministic but not SQL-expressible → rows-only + pytest differential)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as T
+from ..functions.multimodal import documents_as_media, extract_media_features
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ oracle-checked
+
+
+def q_text_stats(sf_dir: str):
+    return T.text_stats(_docs(sf_dir))
+
+
+TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+       length(regexp_replace(text, '\s', '', 'g')) AS n_token_chars
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    out = T.quality_scores(_docs(sf_dir))
+    return out.select_columns(["doc_id", "ttr", "stop_ratio", "mean_token_len"])
+
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(T._STOPWORDS_ALL))
+
+QUALITY_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nchars
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS ttr,
+       ROUND(len(list_filter(ltoks, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+             / len(toks)::DOUBLE, 6) AS stop_ratio,
+       ROUND(nchars::DOUBLE / len(toks)::DOUBLE, 6) AS mean_token_len
+FROM tk
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    return D.exact_dedup(_docs(sf_dir))
+
+
+EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_jaccard_pairs(sf_dir: str):
+    return D.jaccard_pairs(_docs(sf_dir), threshold=0.9)
+
+
+JACCARD_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+  FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst,
+       ROUND(c::DOUBLE / (x.n + y.n - c)::DOUBLE, 6) AS jaccard
+FROM common JOIN cnt x ON x.doc_id = src JOIN cnt y ON y.doc_id = dst
+WHERE c::DOUBLE / (x.n + y.n - c)::DOUBLE >= 0.9
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    return D.embedding_neardup_pairs(_emb(sf_dir), threshold=0.35)
+
+
+EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+def q_ann_threshold(sf_dir: str):
+    return S.ann_threshold(_emb(sf_dir), query_ids=list(range(10)), threshold=0.3)
+
+
+ANN_THRESHOLD_SQL = """
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+WHERE a.vec_id < 10
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+# ----------------------------------------------------------------- rows-only
+
+
+def q_language_id(sf_dir: str):
+    return T.language_id(_docs(sf_dir))
+
+
+def q_fingerprints(sf_dir: str):
+    return T.fingerprints(_docs(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    return D.simhash(_docs(sf_dir))
+
+
+def q_minhash_dedup(sf_dir: str):
+    return D.minhash_dedup(_docs(sf_dir), threshold=0.9)
+
+
+def q_ann_topk(sf_dir: str):
+    return S.ann_bruteforce(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_ann_lsh(sf_dir: str):
+    return S.ann_lsh(_emb(sf_dir), query_ids=list(range(5)), k=5)
+
+
+def q_media_features(sf_dir: str):
+    return extract_media_features(documents_as_media(sf_dir))

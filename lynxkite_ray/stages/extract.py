@@ -175,33 +175,27 @@ class TextExtractor:
         )
 
 
-def extract_links(pages_ds, *, concurrency=None, batch_size: int = 256):
+def extract_links(pages_ds, *, concurrency=(1, 8), batch_size: int = 256):
     """pages Dataset → links Dataset via the LinkExtractor actor pool.
 
     batch_size is small because each row carries a full html payload
-    (wide-row hazard, SURVEY §7.5.6); concurrency defaults to Ray's
-    autoscaling pool.
+    (wide-row hazard, SURVEY §7.5.6); concurrency defaults to an
+    autoscaling pool so small sessions aren't starved.
     """
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
     return pages_ds.map_batches(
         LinkExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        **kwargs,
+        concurrency=concurrency,
     )
 
 
-def extract_texts(pages_ds, *, concurrency=None, batch_size: int = 256):
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+def extract_texts(pages_ds, *, concurrency=(1, 8), batch_size: int = 256):
     return pages_ds.map_batches(
         TextExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        **kwargs,
+        concurrency=concurrency,
     )

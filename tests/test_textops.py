@@ -1,0 +1,159 @@
+"""Unit + differential tests for text analysis, dedup and similarity."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lynxkite_ray.functions import dedup as D
+from lynxkite_ray.functions import similarity as S
+from lynxkite_ray.functions import text as T
+from lynxkite_ray.functions.multimodal import (
+    FakeDecoder,
+    documents_as_media,
+    extract_media_features,
+)
+
+
+def docs_ds(texts):
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+# ----------------------------------------------------------------- text
+
+
+def test_text_stats():
+    out = {r["doc_id"]: r for r in T.text_stats(docs_ds(["a b b c", "", "  x  "])).take_all()}
+    assert out[0]["n_tokens"] == 4 and out[0]["n_distinct"] == 3
+    assert out[0]["n_token_chars"] == 4
+    assert out[1]["n_tokens"] == 0
+    assert out[2]["n_tokens"] == 1
+
+
+def test_language_id_crafted():
+    texts = [
+        "the cat is in the house and it is warm",
+        "der Hund ist nicht mit der Katze und das ist gut",
+        "le chat est dans la maison et il est pour les amis",
+        "el perro es un animal que vive en la casa por las noches",
+        "zzz qqq www",  # no stopwords → und
+    ]
+    out = [r["lang_pred"] for r in sorted(T.language_id(docs_ds(texts)).take_all(), key=lambda r: r["doc_id"])]
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_whitespace_invariant():
+    assert T.fingerprint64("a  b\tc") == T.fingerprint64("a b c")
+    assert T.fingerprint64("a b c") != T.fingerprint64("a b d")
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_keeps_min_id():
+    texts = ["same text", "same text", "other", "same text"]
+    out = sorted(r["doc_id"] for r in D.exact_dedup(docs_ds(texts)).take_all())
+    assert out == [0, 2]
+
+
+def test_simhash_near_duplicates_close():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content here " * 5
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs_ds([base, near, far])).take_all()}
+
+    def ham(a, b):
+        return bin((a & ((1 << 64) - 1)) ^ (b & ((1 << 64) - 1))).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+    assert ham(out[0], out[1]) <= 12
+
+
+def test_minhash_dedup_finds_planted_near_dups():
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    near = base.replace("sigma", "sigmaX", 1)  # one shingle changed
+    texts = [base, near, "totally different content with other words " * 6,
+             "yet another unrelated document body entirely " * 6]
+    out = {r["doc_id"]: r["rep"] for r in D.minhash_dedup(docs_ds(texts), threshold=0.7).take_all()}
+    assert out[0] == out[1] == 0  # clustered
+    assert out[2] == 2 and out[3] == 3
+
+
+def test_jaccard_pairs_exact():
+    texts = ["a b c d", "a b c e", "x y z w"]
+    out = D.jaccard_pairs(docs_ds(texts), threshold=0.5).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src"], r["dst"]) == (0, 1)
+    assert abs(r["jaccard"] - 3 / 5) < 1e-9
+
+
+def test_embedding_neardup_pairs():
+    vecs = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": [10, 20, 30], "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    )
+    out = D.embedding_neardup_pairs(ds, threshold=0.9).take_all()
+    assert len(out) == 1 and (out[0]["src"], out[0]["dst"]) == (10, 20)
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _clustered_embeddings(n=120, dim=16, k=4, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dim)) * 3
+    vecs = centers[np.arange(n) % k] + rng.standard_normal((n, dim)) * 0.1
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": list(range(n)),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_ann_bruteforce_matches_numpy():
+    ds = _clustered_embeddings()
+    rows = ds.take_all()
+    V = np.array([r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    out = S.ann_bruteforce(ds, query_ids=[0, 1], k=5).take_all()
+    for q in [0, 1]:
+        sims = Vn[q] @ Vn.T
+        sims[q] = -np.inf
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = [r["neighbor_id"] for r in sorted((r for r in out if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert got == order.tolist()
+
+
+def test_ann_lsh_recall():
+    ds = _clustered_embeddings()
+    exact = S.ann_bruteforce(ds, query_ids=[0, 1, 2], k=5).take_all()
+    approx = S.ann_lsh(ds, query_ids=[0, 1, 2], k=5, n_planes=6).take_all()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # approximate by design; clustered data keeps it high
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_fake_decoder_deterministic():
+    d = FakeDecoder()
+    m1 = d.decode("image", b"payload")
+    m2 = d.decode("image", b"payload")
+    assert m1 == m2
+    assert m1["width"] >= 64
+
+
+def test_media_pipeline_schema():
+    media = documents_as_media("/root/testdata/sf0.001")
+    out = extract_media_features(media)
+    rows = out.take(5)
+    assert set(rows[0]) == {"media_id", "kind", "n_bytes", "width", "height", "duration_ms"}
+    assert out.count() == 500
