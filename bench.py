@@ -1,0 +1,229 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), printing ONE JSON line:
+
+    {"metric": "e2e_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the same bench in two fresh subprocesses at 8 and 32
+CPUs (the sandbox evidence for the north rule's N vs 4N cluster-size
+criterion; see BASELINE.md §3) and prints throughputs + efficiency.
+
+Headline pipelines (each timed separately):
+  pages_pipeline   pages parquet → LinkExtractor actor pool → (src,dst)
+                   dedup → CSR shards → PageRank(5) + components
+  copurchase      lineitem self-join → dedup edges → PageRank(5) + CC +
+                   LPA(3) + triangle count
+  docs            exact dedup + quality + simhash + minhash-LSH dedup
+  embeddings      cosine near-dup pairs + brute-force ANN top-k
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _warm_page_cache():
+    # one untimed read so we measure compute + shuffle, not cold disk
+    for name in os.listdir(SF_DIR):
+        if name.endswith(".parquet"):
+            with open(os.path.join(SF_DIR, name), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def bench_pages(n_pages: int) -> dict:
+    import numpy as np
+
+    from lynxkite_ray.pipelines.flagship import flagship
+    from lynxkite_ray.sources.pages import pages_parquet
+
+    t_gen0 = time.time()
+    path = pages_parquet(n_pages, 42)  # cached across runs
+    t_gen = time.time() - t_gen0
+    t0 = time.time()
+    res = flagship(pages_path=path, iterations=5, with_components=True)
+    dt = time.time() - t0
+    return {
+        "pages_pipeline_sec": round(dt, 3),
+        "pages_generate_sec": round(t_gen, 3),
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / dt, 1),
+        "graph_edges": res["num_edges"],
+        "pr_edges_per_sec": round(res["num_edges"] * 5 / max(dt, 1e-9), 0),
+    }
+
+
+def bench_copurchase() -> dict:
+    from lynxkite_ray.functions.graph import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+    from lynxkite_ray.pipelines.copurchase import (
+        copurchase_edges,
+        copurchase_graph,
+    )
+
+    t0 = time.time()
+    edges = copurchase_edges(SF_DIR)
+    n_edges = edges.count()
+    t1 = time.time()
+    g = copurchase_graph(SF_DIR, symmetric=True)
+    t2 = time.time()
+    pagerank(g, iterations=5)
+    t3 = time.time()
+    g2 = copurchase_graph(SF_DIR, symmetric=False)
+    connected_components(g2)
+    t4 = time.time()
+    label_propagation(g2, iterations=3)
+    t5 = time.time()
+    tc = triangle_count(edges)
+    t6 = time.time()
+    return {
+        "copurchase_edges_sec": round(t1 - t0, 3),
+        "copurchase_graph_sec": round(t2 - t1, 3),
+        "copurchase_pagerank_sec": round(t3 - t2, 3),
+        "copurchase_cc_sec": round(t4 - t3, 3),
+        "copurchase_lpa_sec": round(t5 - t4, 3),
+        "copurchase_triangles_sec": round(t6 - t5, 3),
+        "copurchase_edges_rows": n_edges,
+        "copurchase_triangles": tc,
+        "copurchase_pr_edges_per_sec": round(g.num_edges * 5 / max(t3 - t2, 1e-9), 0),
+    }
+
+
+def bench_docs() -> dict:
+    import ray.data as rd
+
+    from lynxkite_ray.functions.dedup import exact_dedup, minhash_dedup, simhash
+    from lynxkite_ray.functions.text import quality_scores
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    t0 = time.time()
+    exact_dedup(docs).count()
+    t1 = time.time()
+    quality_scores(docs).count()
+    t2 = time.time()
+    simhash(docs).count()
+    t3 = time.time()
+    minhash_dedup(docs, threshold=0.9).count()
+    t4 = time.time()
+    return {
+        "docs_exact_dedup_sec": round(t1 - t0, 3),
+        "docs_quality_sec": round(t2 - t1, 3),
+        "docs_simhash_sec": round(t3 - t2, 3),
+        "docs_minhash_dedup_sec": round(t4 - t3, 3),
+    }
+
+
+def bench_embeddings() -> dict:
+    import ray.data as rd
+
+    from lynxkite_ray.functions.dedup import embedding_neardup_pairs
+    from lynxkite_ray.functions.similarity import ann_bruteforce
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.time()
+    embedding_neardup_pairs(emb, threshold=0.35).count()
+    t1 = time.time()
+    ann_bruteforce(emb, query_ids=list(range(10)), k=10).count()
+    t2 = time.time()
+    return {
+        "emb_neardup_sec": round(t1 - t0, 3),
+        "emb_ann_topk_sec": round(t2 - t1, 3),
+    }
+
+
+def run_bench() -> dict:
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from lynxkite_ray.context import configure
+
+    configure(quiet=True)
+    _warm_page_cache()
+
+    sf_tail = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_tail)
+    except ValueError:
+        sf = 0.1
+    n_pages = max(200, int(200_000 * sf))
+
+    queries: dict = {}
+    queries.update(bench_pages(n_pages))
+    queries.update(bench_copurchase())
+    queries.update(bench_docs())
+    queries.update(bench_embeddings())
+    ray.shutdown()
+
+    headline = sum(
+        v
+        for k, v in queries.items()
+        if k.endswith("_sec") and "per_sec" not in k and k != "pages_generate_sec"
+    )
+    return {
+        "metric": "e2e_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    pr_lo = r_lo["queries"]["pr_edges_per_sec"]
+    pr_hi = r_hi["queries"]["pr_edges_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "pages_pr_edges_per_sec_8": pr_lo,
+        "pages_pr_edges_per_sec_32": pr_hi,
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

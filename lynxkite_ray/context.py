@@ -26,11 +26,28 @@ DENSE_VERTEX_THRESHOLD = int(os.environ.get("LKR_DENSE_VERTICES", 100_000_000))
 
 def configure(quiet: bool = True) -> None:
     """Apply engine-wide DataContext policy. Safe to call repeatedly."""
-    from ray.data import DataContext
+    from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()
     ctx.target_max_block_size = 128 * 1024 * 1024
     ctx.execution_options.preserve_order = False
+    # Hash shuffle unlocks repartition(keys=...) — the engine's primary
+    # wide primitive (stages/shuffle.py); ~30x faster than the sort-based
+    # groupby path for dedup/degree/message-combine workloads.
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Size the shuffle-aggregator actor pool to the session instead of the
+    # 200-partition default: aggregators are long-lived actors, and a pool
+    # that reserves every CPU deadlocks small sessions (reads can't run).
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    ctx.default_hash_shuffle_parallelism = max(2, min(32, cpus * 2))
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
     if quiet:
         ctx.enable_progress_bars = False
     return ctx
@@ -39,3 +56,26 @@ def configure(quiet: bool = True) -> None:
 def num_blocks_for(rows: int) -> int:
     """desiredNumPartitions analog (EntityIO.scala:92-96): ceil(rows / 200k)."""
     return max(1, math.ceil(rows / ROWS_PER_BLOCK))
+
+
+def session_cpus() -> int:
+    import ray
+
+    try:
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    return 8
+
+
+def default_partitions(rows_hint: int | None = None) -> int:
+    """Shuffle/join partition count: scales with the session's CPUs (and
+    the data when a row hint is given) — hash-shuffle aggregators are
+    long-lived actors, so a fixed large partition count deadlocks small
+    sessions while a fixed small one under-parallelizes big ones."""
+    cpus = session_cpus()
+    by_cpu = max(2, cpus // 2)
+    if rows_hint is None:
+        return by_cpu
+    return max(2, min(max(by_cpu, num_blocks_for(rows_hint)), cpus * 4))

@@ -62,13 +62,21 @@ class MostCommon(AggregateFnV2):
             dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
         )
 
+    @staticmethod
+    def _to_counter(x) -> Counter:
+        # Hash-shuffle merges round-trip accumulators through Arrow structs,
+        # which union key sets and fill absences with None — drop those.
+        if isinstance(x, Counter):
+            return x
+        return Counter({k: v for k, v in dict(x).items() if v is not None})
+
     def combine(self, acc, new):
-        a = acc if isinstance(acc, Counter) else Counter(acc)
-        b = new if isinstance(new, Counter) else Counter(new)
-        a.update(b)
+        a = self._to_counter(acc)
+        a.update(self._to_counter(new))
         return a
 
     def finalize(self, acc):
+        acc = self._to_counter(acc)
         if not acc:
             return None
         return min(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0]

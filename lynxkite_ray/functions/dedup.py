@@ -45,8 +45,10 @@ def exact_dedup(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Datas
             {id_col: t.column(id_col), "text_md5": pa.array(hs, pa.string())}
         )
 
+    from ..stages.shuffle import grouped_aggregate
+
     h = ds.map_batches(with_md5, batch_format="pyarrow", zero_copy_batch=True)
-    kept = h.groupby("text_md5").aggregate(Min(id_col, alias_name=id_col))
+    kept = grouped_aggregate(h, ["text_md5"], [(id_col, "min", id_col)])
     return kept.select_columns([id_col, "text_md5"])
 
 
@@ -141,28 +143,47 @@ def lsh_candidate_pairs(sigs: Dataset, bands: int = 32, id_col: str = "doc_id") 
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(df):
-        import itertools
-        import pandas as pd
+    # Hash-partition by bucket key, then expand every bucket's pairs in one
+    # vectorized pass per block (keys are block-complete after the shuffle).
+    from ..stages.shuffle import distinct, hash_partition
 
-        ids = np.sort(df[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"src": [], "dst": []}, dtype=np.int64)
-        combos = list(itertools.combinations(ids.tolist(), 2))
-        return pd.DataFrame(
-            {
-                "src": [c[0] for c in combos],
-                "dst": [c[1] for c in combos],
-            },
-            dtype=np.int64,
+    def block_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        band = t.column("band").to_numpy()
+        bh = t.column("bh").to_numpy()
+        ids = t.column(id_col).to_numpy()
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        bound = np.empty(len(ids), dtype=bool)
+        bound[0] = True
+        bound[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(bound)
+        counts = np.diff(np.append(starts, len(ids)))
+        src_out = []
+        dst_out = []
+        for size in np.unique(counts):
+            if size < 2:
+                continue
+            gs = starts[counts == size]
+            mat = ids[gs[:, None] + np.arange(size)[None, :]]
+            iu, ju = np.triu_indices(int(size), 1)
+            src_out.append(mat[:, iu].ravel())
+            dst_out.append(mat[:, ju].ravel())
+        if not src_out:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"src": np.concatenate(src_out), "dst": np.concatenate(dst_out)}
         )
 
-    cand = buckets.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
-    return (
-        cand.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(
-            ["src", "dst"]
-        )
+    cand = hash_partition(buckets, ["band", "bh"]).map_batches(
+        block_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
+    return distinct(cand, ["src", "dst"])
 
 
 def jaccard_pairs(
@@ -170,7 +191,7 @@ def jaccard_pairs(
     threshold: float,
     col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     candidates: Dataset | None = None,
 ) -> Dataset:
     """Exact distinct-word Jaccard for all pairs ≥ threshold, via the
@@ -246,9 +267,13 @@ def jaccard_pairs(
             }
         )
 
-    common = joined.map_batches(
-        precombine, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby(["src", "dst"]).aggregate(Sum("one", alias_name="common"))
+    from ..stages.shuffle import grouped_aggregate
+
+    common = grouped_aggregate(
+        joined.map_batches(precombine, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"],
+        [("one", "sum", "common")],
+    )
 
     # Word counts per doc are tiny (one row per doc) → broadcast lookup,
     # not a shuffle join (HybridRDD.smallTableLookup analog).
@@ -293,7 +318,7 @@ def minhash_dedup(
     rep = min id of the duplicate cluster (rep == id for uniques)."""
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, id_col).materialize()
     cand = lsh_candidate_pairs(sigs, bands, id_col)
-    verified = jaccard_pairs(ds, threshold, col, id_col, candidates=cand)
+    verified = verify_pairs_jaccard(ds, cand, threshold, col, id_col)
 
     from .graph.core import Graph
     from .graph.components import connected_components
@@ -315,6 +340,53 @@ def minhash_dedup(
     import ray.data as rd
 
     return rd.from_arrow(pa.table({id_col: g.vids, "rep": labels}))
+
+
+def verify_pairs_jaccard(
+    ds: Dataset,
+    pairs: Dataset,
+    threshold: float,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Exact word-set Jaccard for an explicit candidate-pair Dataset.
+
+    The doc → token-set map is broadcast once (``ray.put``) and each pairs
+    block verifies vectorized against it — O(|candidates|) instead of the
+    all-pairs inverted index.  Assumes the token-set map fits a worker's
+    heap (at larger scale, swap for a hash join of pairs against the token
+    table keyed by src then dst)."""
+    token_map: dict = {}
+    for b in ds.select_columns([id_col, col]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        for i, s in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            token_map[i] = frozenset(tokenize(s))
+    ref = ray.put(token_map)
+
+    def body(t: pa.Table) -> pa.Table:
+        tm = ray.get(ref)
+        s = t.column("src").to_pylist()
+        d = t.column("dst").to_pylist()
+        out_s, out_d, out_j = [], [], []
+        for a_, b_ in zip(s, d):
+            ta, tb = tm[a_], tm[b_]
+            inter = len(ta & tb)
+            union = len(ta) + len(tb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_s.append(a_)
+                out_d.append(b_)
+                out_j.append(j)
+        return pa.table(
+            {
+                "src": pa.array(out_s, pa.int64()),
+                "dst": pa.array(out_d, pa.int64()),
+                "jaccard": round_away(np.array(out_j, dtype=np.float64), 6),
+            }
+        )
+
+    return pairs.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ----------------------------------------------------------------- simhash

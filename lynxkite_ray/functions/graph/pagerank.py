@@ -97,7 +97,7 @@ def pagerank_dataset(
     edges,
     damping: float = 0.85,
     iterations: int = 5,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     weight_col: str | None = None,
 ):
     """Arbitrary-scale Dataset-only PageRank: no dense vector anywhere.
@@ -113,8 +113,11 @@ def pagerank_dataset(
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    from ...context import default_partitions
     from ...stages.edges import vertices_from_edges, weighted_out_degree
 
+    if num_partitions is None:
+        num_partitions = default_partitions()
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     edges = edges.select_columns(cols)
     if weight_col is None:

@@ -4,98 +4,154 @@ parallel edges, each triangle found exactly once via an acyclic orientation.
 
 We orient edges low-degree → high-degree endpoint (ties by id) instead of
 the reference's plain id ordering (EnumerateTriangles.scala:41-47) — the
-standard wedge-bounding improvement; changes only performance, never the
-count (SURVEY §7.2.6).
+standard wedge-bounding improvement (wedge work O(m^1.5)); changes only
+performance, never the count (SURVEY §7.2.6).
 
-Local path (≤ LOCAL_EDGE_THRESHOLD edges): pandas hash-join wedge counting.
-Distributed path: the same two joins as Dataset.join ops —
-  oriented ⋈ oriented on (b=a)  → wedges (a,b,c)
-  wedges  ⋈ oriented on (a,c)   → triangles
-with per-batch combine for the count.
+Main path (vertex ids fit memory — the Graph-handle regime): build the
+oriented CSR once on the driver, broadcast it (``ray.put``), and fan out
+**edge-range chunks as Ray tasks** — each chunk expands its wedges fully
+vectorized (repeat/take against the CSR) and counts closures by binary
+search on the sorted (a<<32|b)-style pair keys.  Chunking bounds per-task
+wedge memory; tasks scale with CPUs.
+
+Fallback for arbitrary scale: the same two joins as Dataset ops
+(``_triangles_distributed``), used when the CSR can't be materialized.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import ray
 
 from ray.data import Dataset
 
 from ...context import LOCAL_EDGE_THRESHOLD
 from ...stages.edges import canonical_edges
 
+_WEDGE_CHUNK_EDGES = 100_000
 
-def _orient(df: pd.DataFrame) -> pd.DataFrame:
-    """canonical (src<dst) simple edges → degree-ordered orientation
-    (a → b with (deg,id) of a < (deg,id) of b)."""
-    deg = (
-        pd.concat([df["src"], df["dst"]])
-        .value_counts()
-        .rename_axis("v")
-        .reset_index(name="deg")
+
+def _orient_csr(s: np.ndarray, d: np.ndarray):
+    """Canonical (s<d) simple edges → degree-ordered oriented CSR in dense
+    index space. Returns (a, b, indptr, indices, keys, vids, V)."""
+    vids = np.unique(np.concatenate([s, d]))
+    V = len(vids)
+    si = np.searchsorted(vids, s)
+    di = np.searchsorted(vids, d)
+    deg = np.bincount(si, minlength=V) + np.bincount(di, minlength=V)
+    first = (deg[si] < deg[di]) | ((deg[si] == deg[di]) & (si < di))
+    a = np.where(first, si, di)
+    b = np.where(first, di, si)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(np.bincount(a, minlength=V), out=indptr[1:])
+    keys = a.astype(np.int64) * V + b.astype(np.int64)  # sorted by construction
+    return a, b, indptr, b.copy(), keys, vids, V
+
+
+@ray.remote
+def _wedge_chunk(csr_ref, lo: int, hi: int, per_vertex: bool, V: int):
+    a, b, indptr, indices, keys = ray.get(csr_ref) if isinstance(csr_ref, ray.ObjectRef) else csr_ref
+    ea, eb = a[lo:hi], b[lo:hi]
+    cnt = indptr[eb + 1] - indptr[eb]
+    total = int(cnt.sum())
+    if total == 0:
+        return (0, None) if not per_vertex else (0, np.zeros(0, np.int64))
+    starts = np.repeat(indptr[eb], cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
     )
-    dmap = dict(zip(deg["v"], deg["deg"]))
-    ds_ = df["src"].map(dmap).to_numpy()
-    dd_ = df["dst"].map(dmap).to_numpy()
-    s = df["src"].to_numpy()
-    d = df["dst"].to_numpy()
-    src_first = (ds_ < dd_) | ((ds_ == dd_) & (s < d))
-    a = np.where(src_first, s, d)
-    b = np.where(src_first, d, s)
-    return pd.DataFrame({"a": a, "b": b})
-
-
-def _count_local(edges_df: pd.DataFrame, per_vertex: bool):
-    o = _orient(edges_df)
-    wedges = o.merge(o, left_on="b", right_on="a", suffixes=("1", "2"))
-    # wedge a1 → b1 (=a2) → b2 ; triangle iff (a1, b2) is an oriented edge
-    wedges = wedges.rename(columns={"a1": "a", "b1": "b", "b2": "c"})[["a", "b", "c"]]
-    closed = wedges.merge(o, left_on=["a", "c"], right_on=["a", "b"])
-    tri = closed[["a", "b_x", "c"]].rename(columns={"b_x": "b"})
+    wc = indices[starts + within]
+    wa = np.repeat(ea, cnt)
+    probe = wa.astype(np.int64) * V + wc.astype(np.int64)
+    pos = np.searchsorted(keys, probe)
+    pos[pos >= len(keys)] = len(keys) - 1
+    closed = keys[pos] == probe
+    n = int(np.count_nonzero(closed))
     if not per_vertex:
-        return len(tri)
-    counts = (
-        pd.concat([tri["a"], tri["b"], tri["c"]])
-        .value_counts()
-        .rename_axis("id")
-        .reset_index(name="triangles")
+        return n, None
+    wb = np.repeat(eb, cnt)
+    tri_counts = (
+        np.bincount(wa[closed], minlength=V)
+        + np.bincount(wb[closed], minlength=V)
+        + np.bincount(wc[closed], minlength=V)
     )
-    return counts
+    return n, tri_counts
+
+
+def _count_csr(s: np.ndarray, d: np.ndarray, per_vertex: bool):
+    a, b, indptr, indices, keys, vids, V = _orient_csr(s, d)
+    csr_ref = ray.put((a, b, indptr, indices, keys))
+    m = len(a)
+    chunks = [
+        _wedge_chunk.remote(csr_ref, lo, min(lo + _WEDGE_CHUNK_EDGES, m), per_vertex, V)
+        for lo in range(0, m, _WEDGE_CHUNK_EDGES)
+    ]
+    results = ray.get(chunks)
+    total = sum(r[0] for r in results)
+    if not per_vertex:
+        return total, None, vids
+    counts = np.zeros(V, dtype=np.int64)
+    for _, c in results:
+        if c is not None and len(c):
+            counts += c
+    return total, counts, vids
+
+
+def _gather_canonical(canon: Dataset):
+    ss, dd = [], []
+    for t in canon.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ss.append(t["src"].to_numpy())
+        dd.append(t["dst"].to_numpy())
+    if not ss:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ss), np.concatenate(dd)
 
 
 def triangle_count(edges: Dataset) -> int:
     """Global triangle count of the undirected simple graph underlying the
     (src, dst) Dataset."""
-    canon = canonical_edges(edges)
-    n_edges = canon.count()
-    if n_edges <= LOCAL_EDGE_THRESHOLD:
-        df = canon.to_pandas()
-        return int(_count_local(df, per_vertex=False))
+    canon = canonical_edges(edges).materialize()
+    if canon.count() <= LOCAL_EDGE_THRESHOLD:
+        s, d = _gather_canonical(canon)
+        if len(s) == 0:
+            return 0
+        total, _, _ = _count_csr(s, d, per_vertex=False)
+        return int(total)
     return int(_triangles_distributed(canon, per_vertex=False))
 
 
 def triangles_per_vertex(edges: Dataset) -> Dataset:
-    """Per-vertex incident-triangle counts (vertices in no triangle omitted;
-    left-join against the vertex set to fill zeros when needed)."""
+    """Per-vertex incident-triangle counts (vertices in no triangle get 0)."""
     import ray.data as rd
 
-    canon = canonical_edges(edges)
-    n_edges = canon.count()
-    if n_edges <= LOCAL_EDGE_THRESHOLD:
-        counts = _count_local(canon.to_pandas(), per_vertex=True)
-        return rd.from_pandas(counts)
+    canon = canonical_edges(edges).materialize()
+    if canon.count() <= LOCAL_EDGE_THRESHOLD:
+        s, d = _gather_canonical(canon)
+        if len(s) == 0:
+            return rd.from_arrow(
+                pa.table({"id": np.empty(0, np.int64), "triangles": np.empty(0, np.int64)})
+            )
+        _, counts, vids = _count_csr(s, d, per_vertex=True)
+        return rd.from_arrow(pa.table({"id": vids, "triangles": counts}))
     return _triangles_distributed(canon, per_vertex=True)
 
 
-def _triangles_distributed(canon: Dataset, per_vertex: bool, num_partitions: int = 32):
-    """Dataset-join wedge closure. Degree-ordered orientation via a degree
-    aggregate + two joins; wedges stream through the second join without
-    materializing."""
+def _triangles_distributed(
+    canon: Dataset, per_vertex: bool, num_partitions: int | None = None
+):
+    """Dataset-join wedge closure — the arbitrary-scale fallback when the
+    CSR can't be pinned. Degree-ordered orientation via a degree aggregate +
+    two hash joins; wedges stream through the closing join."""
     from ray.data.aggregate import Count, Sum
 
+    from ...context import default_partitions
     from ...stages.edges import add_reversed_edges
 
+    if num_partitions is None:
+        num_partitions = default_partitions()
     deg = (
         add_reversed_edges(canon)
         .groupby("src")
@@ -133,6 +189,8 @@ def _triangles_distributed(canon: Dataset, per_vertex: bool, num_partitions: int
     )
     if not per_vertex:
         return tri.count()
+    from ray.data.aggregate import Sum as _Sum
+
     flat = tri.map_batches(
         lambda t: pa.table(
             {
@@ -148,4 +206,4 @@ def _triangles_distributed(canon: Dataset, per_vertex: bool, num_partitions: int
         ),
         batch_format="pyarrow",
     )
-    return flat.groupby("id").aggregate(Sum("one", alias_name="triangles"))
+    return flat.groupby("id").aggregate(_Sum("one", alias_name="triangles"))

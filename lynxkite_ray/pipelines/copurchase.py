@@ -35,19 +35,31 @@ _EDGE_CACHE: dict = {}
 _GRAPH_CACHE: dict = {}
 
 
-def copurchase_edges(sf_dir: str, num_partitions: int = 16):
+def copurchase_edges(sf_dir: str, num_partitions: int | None = None):
     """Canonical (src < dst) deduplicated co-purchase edge Dataset
     (materialized + cached per sf_dir)."""
     if sf_dir in _EDGE_CACHE:
         return _EDGE_CACHE[sf_dir]
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    import pyarrow.parquet as pq
+
+    from ..context import num_blocks_for
+
+    path = f"{sf_dir}/lineitem.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    nb = num_blocks_for(n_rows)
+    # join-partition count scales with data; small inputs stay at few
+    # partitions — per-partition aggregator overhead dominates otherwise
+    npart = num_partitions or max(2, 2 * nb)
+    li = rd.read_parquet(
+        path, columns=["l_orderkey", "l_partkey"], override_num_blocks=nb
+    )
     a = li.map_batches(
         lambda t: t.rename_columns(["k", "src"]), batch_format="pyarrow"
     )
     b = li.map_batches(
         lambda t: t.rename_columns(["k", "dst"]), batch_format="pyarrow"
     )
-    pairs = a.join(b, join_type="inner", num_partitions=num_partitions, on=("k",))
+    pairs = a.join(b, join_type="inner", num_partitions=npart, on=("k",))
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.less(t["src"], t["dst"])).select(["src", "dst"]),
         batch_format="pyarrow",

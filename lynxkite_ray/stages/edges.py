@@ -18,6 +18,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from ..context import num_blocks_for
+from .shuffle import distinct, grouped_aggregate
 
 
 def _local_dedup(batch: pa.Table) -> pa.Table:
@@ -46,10 +47,8 @@ def links_to_edges(links: Dataset) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # global dedup: hash shuffle on the pair, keep one per group
-    return e.groupby(["src", "dst"]).aggregate(Count(alias_name="_m")).select_columns(
-        ["src", "dst"]
-    )
+    # global dedup: hash shuffle on the pair, per-block keep-one
+    return distinct(e, ["src", "dst"])
 
 
 def edge_multiplicity(links: Dataset) -> Dataset:
@@ -59,7 +58,14 @@ def edge_multiplicity(links: Dataset) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return e.groupby(["src", "dst"]).aggregate(Count(alias_name="multiplicity"))
+    return grouped_aggregate(
+        e.map_batches(
+            lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"],
+        [("one", "sum", "multiplicity")],
+    )
 
 
 def reverse_edges(edges: Dataset) -> Dataset:
@@ -122,9 +128,7 @@ def canonical_edges(edges: Dataset) -> Dataset:
     e = edges.select_columns(["src", "dst"]).map_batches(
         canon, batch_format="pyarrow", zero_copy_batch=True
     )
-    return e.groupby(["src", "dst"]).aggregate(Count(alias_name="_m")).select_columns(
-        ["src", "dst"]
-    )
+    return distinct(e, ["src", "dst"])
 
 
 def vertices_from_edges(edges: Dataset) -> Dataset:
@@ -140,7 +144,7 @@ def vertices_from_edges(edges: Dataset) -> Dataset:
     v = edges.select_columns(["src", "dst"]).map_batches(
         ids, batch_format="pyarrow", zero_copy_batch=True
     )
-    return v.groupby("id").aggregate(Count(alias_name="_m")).select_columns(["id"])
+    return distinct(v, ["id"])
 
 
 def out_degree(
@@ -148,7 +152,11 @@ def out_degree(
 ) -> Dataset:
     """OutDegree.scala:25-39 — per-src edge count; vertices with no
     out-edges get degree 0 when a vertex set is supplied (left join)."""
-    deg = edges.groupby("src").aggregate(Count(alias_name="degree"))
+    ones = edges.select_columns(["src"]).map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    deg = grouped_aggregate(ones, ["src"], [("one", "sum", "degree")])
     if vertices is None:
         return deg.map_batches(
             lambda t: t.rename_columns(["id", "degree"]), batch_format="pyarrow"
@@ -179,4 +187,4 @@ def weighted_out_degree(edges: Dataset, weight_col: str = "weight") -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return e.groupby("src").aggregate(Sum(weight_col, alias_name="wsum"))
+    return grouped_aggregate(e, ["src"], [(weight_col, "sum", "wsum")])

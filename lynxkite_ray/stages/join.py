@@ -24,7 +24,7 @@ def hash_join(
     right: Dataset,
     on,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     right_on=None,
 ) -> Dataset:
     kind = {
@@ -33,6 +33,10 @@ def hash_join(
         "right": "right_outer",
         "outer": "full_outer",
     }[how]
+    if num_partitions is None:
+        from ..context import default_partitions
+
+        num_partitions = default_partitions()
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (
         None
