@@ -38,7 +38,7 @@ def _warm_page_cache():
                     pass
 
 
-def bench_pages(n_pages: int) -> dict:
+def bench_pages(n_pages: int, with_components: bool = True) -> dict:
     import numpy as np
 
     from lynxkite_ray.pipelines.flagship import flagship
@@ -48,7 +48,7 @@ def bench_pages(n_pages: int) -> dict:
     path = pages_parquet(n_pages, 42)  # cached across runs
     t_gen = time.time() - t_gen0
     t0 = time.time()
-    res = flagship(pages_path=path, iterations=5, with_components=True)
+    res = flagship(pages_path=path, iterations=5, with_components=with_components)
     dt = time.time() - t0
     return {
         "pages_pipeline_sec": round(dt, 3),
@@ -167,11 +167,20 @@ def run_bench() -> dict:
         sf = 0.1
     n_pages = max(200, int(200_000 * sf))
 
+    pages_only = os.environ.get("GRAFT_BENCH_PAGES_ONLY") == "1"
+    if pages_only:
+        # scaling mode: the compute-bound flagship (extract → edges → PR),
+        # 20x size, no components leg — fixed per-session overheads
+        # (ray.init, shuffle-aggregator spawns, ~5s) would otherwise drown
+        # the scaling signal
+        n_pages *= 20
+
     queries: dict = {}
-    queries.update(bench_pages(n_pages))
-    queries.update(bench_copurchase())
-    queries.update(bench_docs())
-    queries.update(bench_embeddings())
+    queries.update(bench_pages(n_pages, with_components=not pages_only))
+    if not pages_only:
+        queries.update(bench_copurchase())
+        queries.update(bench_docs())
+        queries.update(bench_embeddings())
     ray.shutdown()
 
     headline = sum(
@@ -191,7 +200,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES_ONLY="1"
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -45,7 +45,9 @@ def configure(quiet: bool = True) -> None:
     except Exception:
         cpus = 8
     ctx.default_hash_shuffle_parallelism = max(2, min(32, cpus * 2))
-    ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    # few, cheap aggregator actors: spawning 16+ actors per shuffle op costs
+    # more wall time than they recover on sandbox-scale exchanges
+    ctx.max_hash_shuffle_aggregators = max(2, min(8, cpus // 2))
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
     if quiet:

@@ -19,7 +19,7 @@ from ..stages.edges import links_to_edges, symmetrize
 from ..stages.extract import extract_links
 
 
-def build_edges(pages_ds, concurrency=(1, 8)):
+def build_edges(pages_ds, concurrency=None):
     """pages Dataset → deduplicated (src, dst) edge Dataset.
     Only url+html leave the read (column pruning happens at read_parquet in
     the callers)."""

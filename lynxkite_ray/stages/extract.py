@@ -175,27 +175,45 @@ class TextExtractor:
         )
 
 
-def extract_links(pages_ds, *, concurrency=(1, 8), batch_size: int = 256):
-    """pages Dataset → links Dataset via the LinkExtractor actor pool.
+def extract_links(pages_ds, *, concurrency=None, batch_size: int = 128):
+    """pages Dataset → links Dataset.
 
     batch_size is small because each row carries a full html payload
-    (wide-row hazard, SURVEY §7.5.6); concurrency defaults to an
-    autoscaling pool so small sessions aren't starved.
+    (wide-row hazard, SURVEY §7.5.6).
+
+    Runs as STATELESS tasks by default: the extractor's per-process state
+    (compiled regexes, parser tables) is module-level, so Ray's reused
+    worker processes amortize it exactly like an actor pool would — without
+    paying pool startup (~0.1s/actor, 3s+ for a 32-wide pool) on every
+    pipeline.  Pass ``concurrency`` to pin an actor pool instead (the shape
+    a real model-loading parser would use — e.g. LinkExtractor with a
+    per-actor ML boilerplate model; see functions/multimodal.py for that
+    pattern in earnest).
     """
+    if concurrency is not None:
+        return pages_ds.map_batches(
+            LinkExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    fn = LinkExtractor()
     return pages_ds.map_batches(
-        LinkExtractor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
 
-def extract_texts(pages_ds, *, concurrency=(1, 8), batch_size: int = 256):
+def extract_texts(pages_ds, *, concurrency=None, batch_size: int = 128):
+    if concurrency is not None:
+        return pages_ds.map_batches(
+            TextExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    fn = TextExtractor()
     return pages_ds.map_batches(
-        TextExtractor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
