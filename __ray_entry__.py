@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lynxkite_ray.pipelines import relational as R
     from lynxkite_ray.pipelines import textops as TX
     from lynxkite_ray.pipelines import flagship as FS
+    from lynxkite_ray.pipelines import structure as ST
 
     return {
         # graph operators (co-purchase part graph)
@@ -245,6 +246,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": TX.q_ann_topk,
         "ann_lsh": TX.q_ann_lsh,
         "media_features": TX.q_media_features,
+        # structure transforms (directed precedence graph + subgraphs)
+        "precedence_edges": ST.q_precedence_edges,
+        "precedence_multiplicity": ST.q_precedence_multiplicity,
+        "precedence_reversed": ST.q_precedence_reversed,
+        "remove_non_symmetric": ST.q_remove_non_symmetric,
+        "induced_subgraph": ST.q_induced_subgraph,
+        "nation_region_matches": ST.q_nation_region_matches,
+        "split_rows": ST.q_split_rows,
+        "attribute_fallback": ST.q_attribute_fallback,
+        "clustering_coefficient": ST.q_clustering_coefficient,
+        "shortest_paths": ST.q_shortest_paths,
         # pages flagship (north-star pipeline; rows-only — see pytest suite)
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -255,7 +267,19 @@ def oracle_sql() -> dict[str, str]:
     from lynxkite_ray.pipelines import relational as R
     from lynxkite_ray.pipelines import textops as TX
 
+    from lynxkite_ray.pipelines import structure as ST
+
     rel = {
+        "precedence_edges": ST.PRECEDENCE_SQL,
+        "precedence_multiplicity": ST.PREC_MULT_SQL,
+        "precedence_reversed": ST.PREC_REV_SQL,
+        "remove_non_symmetric": ST.REMOVE_NONSYM_SQL,
+        "induced_subgraph": ST.INDUCED_SQL,
+        "nation_region_matches": ST.NATION_MATCH_SQL,
+        "split_rows": ST.SPLIT_SQL,
+        "attribute_fallback": ST.FALLBACK_SQL,
+        "clustering_coefficient": ST.CLUSTERING_SQL,
+        "shortest_paths": ST.SHORTEST_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,
         "exact_dedup": TX.EXACT_DEDUP_SQL,

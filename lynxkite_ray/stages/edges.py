@@ -179,6 +179,130 @@ def in_degree(edges: Dataset, vertices: Dataset | None = None) -> Dataset:
     return out_degree(reverse_edges(edges), vertices)
 
 
+def remove_non_symmetric(edges: Dataset, num_partitions: int | None = None) -> Dataset:
+    """RemoveNonSymmetricEdges.scala:20 — keep only edges whose reverse is
+    also present (distinct view). Hash semi-join on the swapped pair."""
+    e = distinct(edges.select_columns(["src", "dst"]), ["src", "dst"])
+    rev = reverse_edges(e).map_batches(
+        lambda t: t.append_column("_r", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    j = e.join(
+        rev,
+        join_type="inner",
+        num_partitions=num_partitions or 8,
+        on=("src", "dst"),
+    )
+    return j.select_columns(["src", "dst"])
+
+
+def make_symmetric(edges: Dataset) -> Dataset:
+    """MakeEdgeBundleSymmetric.scala:15 — per unordered pair keep
+    min(|A→B|, |B→A|) matched edge pairs; emitted as that many rows in
+    each direction."""
+    m = edge_multiplicity(edges)
+
+    def canon_counts(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        c = t.column("multiplicity").to_numpy()
+        keep = s != d
+        s, d, c = s[keep], d[keep], c[keep]
+        fwd = s < d
+        return pa.table(
+            {
+                "lo": np.where(fwd, s, d),
+                "hi": np.where(fwd, d, s),
+                "fwd": c * fwd,
+                "bwd": c * (~fwd),
+            }
+        )
+
+    agg = grouped_aggregate(
+        m.map_batches(canon_counts, batch_format="pyarrow"),
+        ["lo", "hi"],
+        [("fwd", "sum", "n_fwd"), ("bwd", "sum", "n_bwd")],
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy()
+        hi = t.column("hi").to_numpy()
+        k = np.minimum(t.column("n_fwd").to_numpy(), t.column("n_bwd").to_numpy())
+        pos = k > 0
+        lo, hi, k = lo[pos], hi[pos], k[pos]
+        src = np.concatenate([np.repeat(lo, k), np.repeat(hi, k)])
+        dst = np.concatenate([np.repeat(hi, k), np.repeat(lo, k)])
+        return pa.table({"src": src, "dst": dst})
+
+    return agg.map_batches(expand, batch_format="pyarrow")
+
+
+def induced_subgraph(edges: Dataset, vertex_ids) -> Dataset:
+    """InducedEdgeBundle.scala:91-186 (induceSrc + induceDst with identity
+    mappings) — keep edges whose BOTH endpoints are in the vertex set
+    (broadcast membership filter)."""
+    import ray
+
+    vals = np.asarray(sorted(vertex_ids), dtype=np.int64)
+    ref = ray.put(vals)
+
+    def body(t: pa.Table) -> pa.Table:
+        vs = pa.array(ray.get(ref))
+        keep = pc.and_(
+            pc.is_in(t["src"], value_set=vs), pc.is_in(t["dst"], value_set=vs)
+        )
+        return t.filter(keep)
+
+    return edges.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def edges_from_matches(ds: Dataset, key_col: str, id_col: str) -> Dataset:
+    """EdgesFromAttributeMatches.scala:17 — connect every pair of rows
+    sharing the key value (emitted canonical src < dst, distinct ids).
+    Key shuffle then vectorized per-group pair expansion (groups are
+    block-complete after the hash partition)."""
+    from .shuffle import hash_partition
+
+    part = hash_partition(ds.select_columns([key_col, id_col]), [key_col])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(id_col).to_numpy()
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        keep = np.empty(len(k), dtype=bool)
+        keep[0] = True
+        keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        k, v = k[keep], v[keep]
+        bound = np.empty(len(k), dtype=bool)
+        bound[0] = True
+        bound[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(bound)
+        counts = np.diff(np.append(starts, len(k)))
+        src_out, dst_out = [], []
+        for size in np.unique(counts):
+            if size < 2:
+                continue
+            gs = starts[counts == size]
+            mat = v[gs[:, None] + np.arange(size)[None, :]]
+            iu, ju = np.triu_indices(int(size), 1)
+            src_out.append(mat[:, iu].ravel())
+            dst_out.append(mat[:, ju].ravel())
+        if not src_out:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"src": np.concatenate(src_out), "dst": np.concatenate(dst_out)}
+        )
+
+    return part.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def weighted_out_degree(edges: Dataset, weight_col: str = "weight") -> Dataset:
     """Σ weight per src (the PageRank normalizer; weights ≤ 0 dropped first
     per PageRank.scala:44)."""

@@ -1,0 +1,70 @@
+"""Clustering coefficient + shortest paths vs naive oracles."""
+
+from collections import defaultdict, deque
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lynxkite_ray.functions.graph import Graph
+from lynxkite_ray.functions.graph.metrics import clustering_coefficient, shortest_paths
+from lynxkite_ray.stages.edges import add_reversed_edges
+
+
+def edges_ds(edges):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+
+
+def test_clustering_coefficient_small():
+    # triangle 0-1-2 plus pendant 3 on vertex 2
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    out = {r["id"]: r["clustering"] for r in clustering_coefficient(edges_ds(edges)).take_all()}
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert abs(out[2] - 1 / 3) < 1e-6
+    assert out[3] == 0.0
+
+
+def test_clustering_coefficient_random_vs_oracle():
+    rng = np.random.default_rng(5)
+    edges = list({(int(a), int(b)) for a, b in zip(rng.integers(0, 40, 200), rng.integers(0, 40, 200)) if a != b})
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {r["id"]: r["clustering"] for r in clustering_coefficient(edges_ds(edges)).take_all()}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        tri = sum(1 for x in nbrs for y in nbrs if x < y and y in adj[x])
+        want = tri / (d * (d - 1) / 2) if d >= 2 else 0.0
+        assert abs(out[v] - want) < 1e-6, v
+
+
+def test_shortest_paths_bfs_parity():
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (8, 9)]
+    sym = add_reversed_edges(edges_ds(edges))
+    g = Graph.from_edges(sym)
+    dist = shortest_paths(g, np.array([0]), max_iterations=20)
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    want = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        for n in adj[u]:
+            if n not in want:
+                want[n] = want[u] + 1
+                q.append(n)
+    got = dict(zip(g.vids.tolist(), dist.tolist()))
+    for v, d in want.items():
+        assert got[v] == d
+    assert np.isinf(got[8]) and np.isinf(got[9])  # other component unreachable
