@@ -43,17 +43,29 @@ nv AS (SELECT COUNT(*)::DOUBLE AS n FROM vertices)
 """
 
 
-def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    iterations: int = 5,
+    damping: float = 0.85,
+    edges_cte: str | None = None,
+    weighted: bool = False,
+) -> str:
+    cte = (edges_cte or _EDGES_CTE).strip()
+    wexpr = "e.w" if weighted else "1.0"
+    outdeg = (
+        "outdeg AS (SELECT src AS id, SUM(w::DOUBLE) AS wsum FROM sym GROUP BY src),"
+        if weighted
+        else "outdeg AS (SELECT src AS id, COUNT(*)::DOUBLE AS wsum FROM sym GROUP BY src),"
+    )
     parts = [
-        "WITH " + _EDGES_CTE.strip() + ",",
-        "outdeg AS (SELECT src AS id, COUNT(*)::DOUBLE AS wsum FROM sym GROUP BY src),",
+        "WITH " + cte + ",",
+        outdeg,
         "pr0 AS (SELECT id, 1.0::DOUBLE AS rank FROM vertices)",
     ]
     for k in range(1, iterations + 1):
         parts.append(
             f""",
 inc{k} AS (
-  SELECT e.dst AS id, {damping} * SUM(p.rank / d.wsum) AS inc
+  SELECT e.dst AS id, {damping} * SUM(p.rank * {wexpr} / d.wsum) AS inc
   FROM sym e
   JOIN pr{k - 1} p ON p.id = e.src
   JOIN outdeg d ON d.id = e.src
@@ -70,6 +82,23 @@ pr{k} AS (
         f"\nSELECT id, ROUND(rank, 6) AS rank FROM pr{iterations} ORDER BY id"
     )
     return "\n".join(parts)
+
+
+_WEIGHTED_EDGES_CTE = """
+mult AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*)::DOUBLE AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, w FROM mult
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM mult
+),
+vertices AS (SELECT p_partkey AS id FROM part),
+nv AS (SELECT COUNT(*)::DOUBLE AS n FROM vertices)
+"""
 
 
 def _lpa_sql(iterations: int = 3) -> str:
@@ -148,10 +177,95 @@ def _q_degree(sf_dir: str):
 
 def _q_pagerank(sf_dir: str):
     from lynxkite_ray.functions.graph import pagerank
+    from lynxkite_ray.util import round_away
 
     g = _copurchase_graph(sf_dir, symmetric=True)
     ranks = pagerank(g, damping=0.85, iterations=5)
-    return pa.table({"id": g.vids, "rank": np.round(ranks, 6)})
+    return pa.table({"id": g.vids, "rank": round_away(ranks, 6)})
+
+
+def _q_pagerank_weighted(sf_dir: str):
+    """Weighted PR: edge weight = co-purchase multiplicity (both
+    directions), reference weight semantics (per-src normalization)."""
+    import pyarrow.compute as pc
+
+    from lynxkite_ray.functions.graph import Graph, pagerank
+    from lynxkite_ray.pipelines.copurchase import part_vertices
+    from lynxkite_ray.pipelines.structure import _PREC_CACHE  # noqa: F401 (module warm)
+    from lynxkite_ray.stages.edges import edge_multiplicity
+    from lynxkite_ray.util import round_away
+
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from lynxkite_ray.context import num_blocks_for
+
+    path = f"{sf_dir}/lineitem.parquet"
+    nb = num_blocks_for(pq.read_metadata(path).num_rows)
+    li = rd.read_parquet(path, columns=["l_orderkey", "l_partkey"], override_num_blocks=nb)
+    a = li.map_batches(lambda t: t.rename_columns(["k", "src"]), batch_format="pyarrow")
+    b = li.map_batches(lambda t: t.rename_columns(["k", "dst"]), batch_format="pyarrow")
+    pairs = a.join(b, join_type="inner", num_partitions=8, on=("k",))
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    mult = edge_multiplicity(pairs)
+
+    def both(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["multiplicity"], pa.float64())
+        return pa.table(
+            {
+                "src": pa.chunked_array([*t["src"].chunks, *t["dst"].chunks]),
+                "dst": pa.chunked_array([*t["dst"].chunks, *t["src"].chunks]),
+                "weight": pa.chunked_array([*w.chunks, *w.chunks]),
+            }
+        )
+
+    sym = mult.map_batches(both, batch_format="pyarrow")
+    g = Graph.from_edges(sym, weight_col="weight", extra_vertices=part_vertices(sf_dir))
+    ranks = pagerank(g, damping=0.85, iterations=5)
+    return pa.table({"id": g.vids, "rank": round_away(ranks, 6)})
+
+
+def _q_neighbor_price_stats(sf_dir: str):
+    """AggregateByEdgeBundle analog — per-vertex aggregate over neighbor
+    attributes (count + exact-cents sum of neighbor retail prices)."""
+    import pyarrow.parquet as pq
+
+    from lynxkite_ray.pipelines.copurchase import copurchase_symmetric
+    from lynxkite_ray.stages.partition import broadcast_lookup
+    from lynxkite_ray.stages.shuffle import grouped_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
+    price_cents = dict(
+        zip(
+            part.column("p_partkey").to_pylist(),
+            [int(round(p * 100)) for p in part.column("p_retailprice").to_pylist()],
+        )
+    )
+    sym = copurchase_symmetric(sf_dir)
+    with_price = broadcast_lookup(sym, price_cents, "dst", "price_cents")
+    agg = grouped_aggregate(
+        with_price.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src"],
+        [("one", "sum", "n_nbr"), ("price_cents", "sum", "sum_price_cents")],
+    )
+    return agg.map_batches(lambda t: t.rename_columns(["id", "n_nbr", "sum_price_cents"]), batch_format="pyarrow")
+
+
+def _q_sample_customers(sf_dir: str):
+    """SampleVertices analog — seeded row sample (rows-only check: the
+    sample is deterministic for a fixed seed + plan, but not SQL-mirrorable)."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return cust.random_sample(0.1, seed=7)
 
 
 def _q_components(sf_dir: str):
@@ -210,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_components,
         "label_propagation": _q_lpa,
         "triangle_count": _q_triangles,
+        "pagerank_weighted": _q_pagerank_weighted,
+        "neighbor_price_stats": _q_neighbor_price_stats,
+        "sample_customers": _q_sample_customers,
         # relational operator battery
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project_revenue": R.filter_project_revenue,
@@ -324,6 +441,19 @@ LEFT JOIN (SELECT src AS id, COUNT(*) AS cnt FROM sym GROUP BY src) c USING (id)
 ORDER BY v.id"""
         ),
         "pagerank": _pagerank_sql(5, 0.85),
+        "pagerank_weighted": _pagerank_sql(
+            5, 0.85, edges_cte=_WEIGHTED_EDGES_CTE, weighted=True
+        ),
+        "neighbor_price_stats": (
+            "WITH "
+            + _EDGES_CTE.strip()
+            + """
+SELECT e.src AS id, COUNT(*) AS n_nbr,
+       CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM sym e JOIN part p ON p.p_partkey = e.dst
+GROUP BY e.src"""
+        ),
         "connected_components": _CC_SQL,
         "label_propagation": _lpa_sql(3),
         "triangle_count": (

@@ -99,25 +99,37 @@ def pagerank_dataset(
     iterations: int = 5,
     num_partitions: int | None = None,
     weight_col: str | None = None,
+    hub_threshold: int | None = None,
 ):
     """Arbitrary-scale Dataset-only PageRank: no dense vector anywhere.
 
     ranks and edges both live as Datasets; each iteration is
     ranks ⋈ edges (hash join on src) → map_batches(contrib) →
-    groupby(dst).sum → left join onto the vertex set → uniform term.
-    The scalar Σincoming is a tiny aggregate. ~2 shuffles/iteration; the
-    dense path above avoids both, which is why it's preferred whenever the
-    vertex *ids* fit in memory. Semantics identical (same formula).
+    key-shuffled sum by dst → left join onto the vertex set → uniform
+    term.  The scalar Σincoming is a tiny aggregate.  ~2 shuffles per
+    iteration; the dense path above avoids both, which is why it's
+    preferred whenever the vertex *ids* fit in memory.  Semantics
+    identical (same formula).
+
+    **Skew**: when ``hub_threshold`` is set (default: the engine's
+    HUB_DEGREE_THRESHOLD when any key exceeds it), edges whose src has
+    more than that many out-edges take the HybridRDD broadcast path
+    (PageRank.scala:60-67 uses the same split): hub ranks — a bounded-
+    small set by construction — are broadcast each iteration and looked
+    up inside map_batches; only the low-degree side pays the rank⋈edge
+    hash join, so no partition ever holds a hot key's full row set.
     """
     import ray.data as rd
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from ...context import default_partitions
+    from ...context import HUB_DEGREE_THRESHOLD, default_partitions
     from ...stages.edges import vertices_from_edges, weighted_out_degree
 
     if num_partitions is None:
         num_partitions = default_partitions()
+    if hub_threshold is None:
+        hub_threshold = HUB_DEGREE_THRESHOLD
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     edges = edges.select_columns(cols)
     if weight_col is None:
@@ -149,6 +161,18 @@ def pagerank_dataset(
         batch_format="pyarrow",
     ).materialize()
 
+    # HybridRDD split: hub srcs' edges never enter the per-iteration join
+    from ...stages.partition import broadcast_lookup, hub_ids, split_by_hubs
+
+    hubs = hub_ids(e, "src", threshold=hub_threshold)
+    if len(hubs):
+        e_low, e_hub = split_by_hubs(e, "src", hubs)
+        e_low = e_low.materialize()
+        e_hub = e_hub.materialize()
+        hub_arr = pa.array(hubs)
+    else:
+        e_low, e_hub = e, None
+
     ranks = vertices.map_batches(
         lambda t: pa.table(
             {"id": t.column("id"), "rank": np.ones(t.num_rows, dtype=np.float64)}
@@ -156,27 +180,46 @@ def pagerank_dataset(
         batch_format="pyarrow",
     ).materialize()
 
+    from ...stages.shuffle import grouped_aggregate
+
+    def _contrib_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": t.column("dst"),
+                "contrib": pc.multiply(
+                    pc.multiply(t.column("rank"), t.column("w_norm")),
+                    pa.scalar(damping),
+                ),
+            }
+        )
+
     for _ in range(iterations):
-        contrib = e.join(
+        contrib = e_low.join(
             ranks.map_batches(
                 lambda t: t.rename_columns(["src", "rank"]), batch_format="pyarrow"
             ),
             join_type="inner",
             num_partitions=num_partitions,
             on=("src",),
+        ).map_batches(_contrib_cols, batch_format="pyarrow")
+        if e_hub is not None:
+            # bounded-small hub rank map, broadcast — no shuffle of hub rows
+            hub_rank: dict = {}
+            hr = ranks.map_batches(
+                lambda t: t.filter(pc.is_in(t["id"], value_set=hub_arr)),
+                batch_format="pyarrow",
+            )
+            for b in hr.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                hub_rank.update(zip(b["id"].to_pylist(), b["rank"].to_pylist()))
+            hub_contrib = broadcast_lookup(e_hub, hub_rank, "src", "rank").map_batches(
+                _contrib_cols, batch_format="pyarrow"
+            )
+            contrib = contrib.union(hub_contrib)
+        incoming = grouped_aggregate(
+            contrib, ["dst"], [("contrib", "sum", "incoming")], num_partitions
         ).map_batches(
-            lambda t: pa.table(
-                {
-                    "dst": t.column("dst"),
-                    "contrib": pc.multiply(
-                        pc.multiply(t.column("rank"), t.column("w_norm")),
-                        pa.scalar(damping),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+            lambda t: t.rename_columns(["dst", "incoming"]), batch_format="pyarrow"
         )
-        incoming = contrib.groupby("dst").aggregate(Sum("contrib", alias_name="incoming"))
         total_incoming = incoming.sum("incoming") or 0.0
         uniform = (N - total_incoming) / N
         ranks = (

@@ -85,6 +85,32 @@ def test_pagerank_dataset_path_matches_dense():
     np.testing.assert_allclose(dense, [got[v] for v in g.vids], atol=1e-9)
 
 
+def test_pagerank_dataset_hub_split_matches_dense():
+    # star-heavy graph: vertex 0 links to everyone (out-degree hub)
+    edges = [(0, i, 1.0) for i in range(1, 80)] + [(i, (i * 7) % 80, 1.0) for i in range(1, 80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    ds = edges_ds(edges)
+    g = Graph.from_edges(ds)
+    dense = pagerank(g, iterations=3)
+    # hub_threshold=10 forces vertex 0 onto the broadcast path
+    dist = pagerank_dataset(ds, iterations=3, num_partitions=4, hub_threshold=10)
+    got = {r["id"]: r["rank"] for r in dist.take_all()}
+    np.testing.assert_allclose(dense, [got[v] for v in g.vids], atol=1e-9)
+
+
+def test_hub_detection():
+    from lynxkite_ray.stages.partition import hub_ids, key_counts, split_by_hubs
+
+    edges = [(0, i, 1.0) for i in range(1, 50)] + [(1, 2, 1.0), (3, 4, 1.0)]
+    ds = edges_ds(edges)
+    hubs = hub_ids(ds, "src", threshold=10)
+    assert hubs.tolist() == [0]
+    low, high = split_by_hubs(ds, "src", hubs)
+    assert high.count() == 49 and low.count() == 2
+    counts = {r["src"]: r["n"] for r in key_counts(ds, "src").take_all()}
+    assert counts == {0: 49, 1: 1, 3: 1}
+
+
 def test_pagerank_example_graph_ordering():
     # ExampleGraph PageRank(0.5, 3): Adam/Eve in (1,2); Bob/Joe in (0,1)
     # (PageRankTest.scala:10-19) — weighted.
