@@ -374,6 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribute_fallback": ST.q_attribute_fallback,
         "clustering_coefficient": ST.q_clustering_coefficient,
         "shortest_paths": ST.q_shortest_paths,
+        "embeddedness": ST.q_embeddedness,
+        "two_hop_customer_part": ST.q_two_hop,
+        "sql_over_datasets": ST.q_sql_over_datasets,
+        "median_quantity": R.median_quantity,
         # pages flagship (north-star pipeline; rows-only — see pytest suite)
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -397,6 +401,10 @@ def oracle_sql() -> dict[str, str]:
         "attribute_fallback": ST.FALLBACK_SQL,
         "clustering_coefficient": ST.CLUSTERING_SQL,
         "shortest_paths": ST.SHORTEST_SQL,
+        "embeddedness": ST.EMBEDDEDNESS_SQL,
+        "two_hop_customer_part": ST.TWO_HOP_SQL,
+        "sql_over_datasets": ST.SQL_OVER_DS_SQL,
+        "median_quantity": R.MEDIAN_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,
         "exact_dedup": TX.EXACT_DEDUP_SQL,

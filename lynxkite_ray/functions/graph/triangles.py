@@ -139,6 +139,69 @@ def triangles_per_vertex(edges: Dataset) -> Dataset:
     return _triangles_distributed(canon, per_vertex=True)
 
 
+@ray.remote
+def _edge_tri_chunk(csr_ref, lo: int, hi: int, m: int, V: int):
+    """Per-edge triangle participation for the wedge chunk [lo, hi): each
+    closed wedge (edge1=a→b, edge2=b→c, edge3=a→c) adds 1 to all three
+    oriented-edge counters."""
+    a, b, indptr, indices, keys = csr_ref if not isinstance(csr_ref, ray.ObjectRef) else ray.get(csr_ref)
+    ea, eb = a[lo:hi], b[lo:hi]
+    cnt = indptr[eb + 1] - indptr[eb]
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros(m, np.int64)
+    e2_idx = np.repeat(indptr[eb], cnt) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+    )
+    e1_idx = np.repeat(np.arange(lo, hi, dtype=np.int64), cnt)
+    wa = a[e1_idx]
+    wc = indices[e2_idx]
+    probe = wa.astype(np.int64) * V + wc.astype(np.int64)
+    pos = np.searchsorted(keys, probe)
+    pos[pos >= len(keys)] = len(keys) - 1
+    closed = keys[pos] == probe
+    out = np.bincount(e1_idx[closed], minlength=m)
+    out += np.bincount(e2_idx[closed], minlength=m)
+    out += np.bincount(pos[closed], minlength=m)
+    return out
+
+
+def embeddedness(edges: Dataset) -> Dataset:
+    """Embeddedness.scala:15 — per-edge count of common neighbors of the
+    two endpoints over the undirected simple graph (= triangles through the
+    edge). Returns (src, dst, common) for every canonical src<dst edge."""
+    import ray.data as rd
+
+    canon = canonical_edges(edges).materialize()
+    s, d = _gather_canonical(canon)
+    if len(s) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": np.empty(0, np.int64),
+                    "dst": np.empty(0, np.int64),
+                    "common": np.empty(0, np.int64),
+                }
+            )
+        )
+    a, b, indptr, indices, keys, vids, V = _orient_csr(s, d)
+    csr_ref = ray.put((a, b, indptr, indices, keys))
+    m = len(a)
+    chunks = [
+        _edge_tri_chunk.remote(csr_ref, lo, min(lo + _WEDGE_CHUNK_EDGES, m), m, V)
+        for lo in range(0, m, _WEDGE_CHUNK_EDGES)
+    ]
+    counts = np.zeros(m, np.int64)
+    for part in ray.get(chunks):
+        counts += part
+    # back to canonical (src < dst) ids
+    va, vb = vids[a], vids[b]
+    lo_ = np.minimum(va, vb)
+    hi_ = np.maximum(va, vb)
+    return rd.from_arrow(pa.table({"src": lo_, "dst": hi_, "common": counts}))
+
+
 def _triangles_distributed(
     canon: Dataset, per_vertex: bool, num_partitions: int | None = None
 ):

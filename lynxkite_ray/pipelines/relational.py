@@ -508,6 +508,23 @@ def event_type_stats(sf_dir: str):
     )
 
 
+def median_quantity(sf_dir: str):
+    """Median (Quantile aggregator, linear interpolation — parity with
+    DuckDB quantile_cont verified)."""
+    from ray.data.aggregate import Quantile
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return li.groupby("l_returnflag").aggregate(
+        Quantile("l_quantity", q=0.5, alias_name="median_qty")
+    )
+
+
+MEDIAN_SQL = """
+SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 EVENT_TYPE_SQL = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -275,6 +275,87 @@ def _min_edge_vertex(sf_dir: str) -> np.ndarray:
     return np.array([m], dtype=np.int64)
 
 
+def q_embeddedness(sf_dir: str):
+    from ..functions.graph.triangles import embeddedness
+
+    from .copurchase import copurchase_edges
+
+    return embeddedness(copurchase_edges(sf_dir))
+
+
+EMBEDDEDNESS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)
+SELECT e.src, e.dst, COUNT(n2.dst) AS common
+FROM edges e
+LEFT JOIN sym n1 ON n1.src = e.src
+LEFT JOIN sym n2 ON n2.src = e.dst AND n2.dst = n1.dst
+GROUP BY 1, 2
+"""
+
+
+def q_two_hop(sf_dir: str):
+    """ConcatenateBundles.scala:32 analog — compose customer→order and
+    order→part bundles into distinct customer→part edges."""
+    import pyarrow.parquet as pq
+
+    from ..context import num_blocks_for
+    from ..stages.edges import distinct
+
+    o_path = f"{sf_dir}/orders.parquet"
+    l_path = f"{sf_dir}/lineitem.parquet"
+    orders = rd.read_parquet(o_path, columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        l_path,
+        columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=num_blocks_for(pq.read_metadata(l_path).num_rows),
+    )
+    a = orders.map_batches(
+        lambda t: pa.table({"k": t["o_orderkey"], "src": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    b = li.map_batches(
+        lambda t: pa.table({"k": t["l_orderkey"], "dst": t["l_partkey"]}),
+        batch_format="pyarrow",
+    )
+    j = a.join(b, join_type="inner", num_partitions=8, on=("k",))
+    return distinct(j.select_columns(["src", "dst"]), ["src", "dst"])
+
+
+TWO_HOP_SQL = """
+SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def q_sql_over_datasets(sf_dir: str):
+    """ExecuteSQL analog — ad-hoc DuckDB over Arrow views of Datasets
+    (oracle = the same SQL over the raw views; parity shows the bridge is
+    faithful)."""
+    from ..functions.sql import execute_sql
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    return execute_sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM cust GROUP BY 1
+        """,
+        cust=cust,
+    )
+
+
+SQL_OVER_DS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer GROUP BY 1
+"""
+
 SHORTEST_SQL = """
 WITH RECURSIVE edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
