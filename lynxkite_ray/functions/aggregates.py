@@ -113,6 +113,64 @@ class FirstBy(AggregateFnV2):
         return None if acc is None else acc[1]
 
 
+class ApproxCountDistinct(AggregateFnV2):
+    """HyperLogLog approximate distinct count (HLLUtils.scala analog —
+    the reference merges HyperLogLogPlus sketches in ApproxClustering
+    Coefficient / HyperBallCentrality).  2^p byte registers per group;
+    standard bias-corrected estimate with linear counting for the small
+    range.  Mergeable: register-wise max."""
+
+    def __init__(self, on: str, p: int = 12, alias_name: str | None = None):
+        self._p = p
+        self._m = 1 << p
+        super().__init__(
+            alias_name or f"approx_distinct({on})", on=on, ignore_nulls=True,
+            zero_factory=lambda: None,
+        )
+
+    def aggregate_block(self, block: Block):
+        from ..ids import hash64_array
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        vals = [str(v) for v in col.to_pylist() if v is not None]
+        regs = np.zeros(self._m, dtype=np.uint8)
+        if vals:
+            # hash64 is a 63-bit hash (top bit masked): bucket on the low p
+            # bits, rank = leading zeros of the remaining 63-p bits + 1
+            h = hash64_array(vals).astype(np.uint64)
+            idx = (h & np.uint64(self._m - 1)).astype(np.int64)
+            w = h >> np.uint64(self._p)
+            width = 63 - self._p
+            rank = np.full(len(h), width + 1, dtype=np.uint8)
+            nz = w > 0
+            rank[nz] = (width - np.floor(np.log2(w[nz].astype(np.float64)))).astype(
+                np.uint8
+            )
+            np.maximum.at(regs, idx, rank)
+        return regs.tobytes()
+
+    def combine(self, acc, new):
+        if acc is None:
+            return new
+        if new is None:
+            return acc
+        a = np.frombuffer(acc, dtype=np.uint8) if isinstance(acc, (bytes, bytearray)) else np.asarray(acc, np.uint8)
+        b = np.frombuffer(new, dtype=np.uint8) if isinstance(new, (bytes, bytearray)) else np.asarray(new, np.uint8)
+        return np.maximum(a, b).tobytes()
+
+    def finalize(self, acc):
+        if acc is None:
+            return 0
+        regs = np.frombuffer(acc, dtype=np.uint8).astype(np.float64)
+        m = float(self._m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs))
+        zeros = float(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting
+        return int(round(est))
+
+
 def weighted_average(
     ds: Dataset, key, value_col: str, weight_col: str, out: str = "weighted_avg"
 ) -> Dataset:

@@ -52,6 +52,112 @@ def _cc_local(si: np.ndarray, di: np.ndarray, V: int) -> np.ndarray:
             return label
 
 
+def connected_components_dataset(
+    edges,
+    num_partitions: int | None = None,
+    max_rounds: int = 50,
+):
+    """Arbitrary-scale Dataset-only components: labels never leave the
+    Dataset plane (the beyond-DENSE_VERTEX_THRESHOLD path).
+
+    Per round: each edge pushes min(label) both ways (hash-shuffled min
+    combine), then one pointer-jump round (labels re-keyed through
+    themselves — the large-star shortcut that collapses chains in O(log V)
+    rounds).  Stops when a round changes nothing.  Returns (id, component)
+    with component = min vertex id, identical to the dense path.
+    """
+    import pyarrow.compute as pc
+
+    from ...context import default_partitions
+    from ...stages.edges import add_reversed_edges, vertices_from_edges
+    from ...stages.shuffle import grouped_aggregate
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    both = add_reversed_edges(edges).materialize()
+    labels = (
+        vertices_from_edges(edges)
+        .map_batches(
+            lambda t: pa.table({"id": t["id"], "label": t["id"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # hop: neighbor labels pushed along every (src → dst) direction
+        msgs = both.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+        ).map_batches(
+            lambda t: pa.table({"id": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        mins = grouped_aggregate(
+            msgs, ["id"], [("label", "min", "nbr_min")], num_partitions
+        )
+        merged = labels.join(
+            mins, join_type="left_outer", num_partitions=num_partitions, on=("id",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["id"],
+                    "label": pc.min_element_wise(
+                        t["label"], pc.fill_null(t["nbr_min"], np.iinfo(np.int64).max)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # pointer jump: label ← label[label]
+        jumped = merged.join(
+            merged.map_batches(
+                lambda t: pa.table({"label": t["id"], "parent": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("label",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["id"],
+                    "label": pc.min_element_wise(
+                        t["label"], pc.fill_null(t["parent"], np.iinfo(np.int64).max)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        changed = (
+            jumped.join(
+                labels.map_batches(
+                    lambda t: pa.table({"id": t["id"], "old": t["label"]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("id",),
+            )
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t["label"], t["old"])),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"id": t["id"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def connected_components(
     graph: Graph,
     checkpoint_root: str | None = None,
