@@ -259,6 +259,41 @@ def _q_neighbor_price_stats(sf_dir: str):
     return agg.map_batches(lambda t: t.rename_columns(["id", "n_nbr", "sum_price_cents"]), batch_format="pyarrow")
 
 
+def _q_random_walk(sf_dir: str):
+    """RandomWalkSample analog — seeded deterministic walks (rows-only)."""
+    import numpy as np
+
+    from lynxkite_ray.functions.graph.sampling import random_walk_sample
+
+    g = _copurchase_graph(sf_dir, symmetric=True)
+    seeds = g.vids[:5]
+    return random_walk_sample(g, seeds, walk_length=8, walks_per_seed=2, seed=42)
+
+
+def _q_snowball(sf_dir: str):
+    """CreateSnowballSample analog — 2-hop ball around min vertex (rows-only;
+    the radius-limited variant of the oracle-checked shortest_paths)."""
+    import numpy as np
+
+    from lynxkite_ray.functions.graph.sampling import snowball_sample
+
+    g = _copurchase_graph(sf_dir, symmetric=True)
+    return snowball_sample(g, g.vids[:1], radius=2)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct (rows-only: approximate by design; error
+    bound asserted in tests/test_scale_paths.py)."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import ApproxCountDistinct
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+    return li.groupby("l_suppkey").aggregate(
+        ApproxCountDistinct("l_partkey", p=12, alias_name="approx_parts")
+    )
+
+
 def _q_sample_customers(sf_dir: str):
     """SampleVertices analog — seeded row sample (rows-only check: the
     sample is deterministic for a fixed seed + plan, but not SQL-mirrorable)."""
@@ -327,6 +362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "neighbor_price_stats": _q_neighbor_price_stats,
         "sample_customers": _q_sample_customers,
+        "random_walk_sample": _q_random_walk,
+        "snowball_sample": _q_snowball,
+        "approx_distinct_parts": _q_approx_distinct,
         # relational operator battery
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project_revenue": R.filter_project_revenue,
@@ -378,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_customer_part": ST.q_two_hop,
         "sql_over_datasets": ST.q_sql_over_datasets,
         "median_quantity": R.median_quantity,
+        "modularity_by_brand": ST.q_modularity_by_brand,
+        "key_intersection": ST.q_key_intersection,
+        "adjacency_lists": ST.q_adjacency_lists,
         # pages flagship (north-star pipeline; rows-only — see pytest suite)
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -405,6 +446,9 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_customer_part": ST.TWO_HOP_SQL,
         "sql_over_datasets": ST.SQL_OVER_DS_SQL,
         "median_quantity": R.MEDIAN_SQL,
+        "modularity_by_brand": ST.MODULARITY_SQL,
+        "key_intersection": ST.INTERSECTION_SQL,
+        "adjacency_lists": ST.ADJACENCY_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,
         "exact_dedup": TX.EXACT_DEDUP_SQL,

@@ -356,6 +356,160 @@ SELECT c_mktsegment, COUNT(*) AS n,
 FROM customer GROUP BY 1
 """
 
+def q_modularity_by_brand(sf_dir: str):
+    """Modularity.scala:30 analog — modularity of the p_brand partition of
+    the co-purchase graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] over undirected
+    edges. Exact-rational inputs → ROUND(,6) both sides."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.partition import broadcast_lookup
+    from ..stages.shuffle import grouped_aggregate
+    from .copurchase import copurchase_edges
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    canon = copurchase_edges(sf_dir)
+    m = canon.count()
+    wb = broadcast_lookup(
+        broadcast_lookup(canon, brand, "src", "b_src"), brand, "dst", "b_dst"
+    )
+
+    # e_c: edges inside community c; d_c: total degree of community c
+    def mark(t: pa.Table) -> pa.Table:
+        same = pc.equal(t["b_src"], t["b_dst"])
+        return pa.table(
+            {
+                "b_src": t["b_src"],
+                "b_dst": t["b_dst"],
+                "inside": pc.cast(same, pa.int64()),
+            }
+        )
+
+    marked = wb.map_batches(mark, batch_format="pyarrow")
+    inside = {
+        r["b_src"]: r["e_in"]
+        for r in grouped_aggregate(
+            marked.map_batches(
+                lambda t: t.filter(pc.equal(t["inside"], 1)).select(["b_src", "inside"]),
+                batch_format="pyarrow",
+            ),
+            ["b_src"],
+            [("inside", "sum", "e_in")],
+        ).take_all()
+    }
+    deg_rows = grouped_aggregate(
+        marked.map_batches(
+            lambda t: pa.table(
+                {
+                    "b": pa.chunked_array([*t["b_src"].chunks, *t["b_dst"].chunks]),
+                    "one": pa.array(np.ones(2 * t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["b"],
+        [("one", "sum", "d")],
+    ).take_all()
+    q = 0.0
+    for r in deg_rows:
+        c = r["b"]
+        e_c = inside.get(c, 0)
+        d_c = r["d"]
+        q += e_c / m - (d_c / (2.0 * m)) ** 2
+    return pa.table({"modularity": round_away(np.array([q]), 6)})
+
+
+MODULARITY_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+m AS (SELECT COUNT(*)::DOUBLE AS m FROM edges),
+lab AS (SELECT p_partkey AS id, p_brand AS c FROM part),
+marked AS (
+  SELECT ls.c AS b_src, ld.c AS b_dst
+  FROM edges e JOIN lab ls ON ls.id = e.src JOIN lab ld ON ld.id = e.dst
+),
+inside AS (SELECT b_src AS c, COUNT(*)::DOUBLE AS e_in FROM marked WHERE b_src = b_dst GROUP BY 1),
+deg AS (
+  SELECT c, COUNT(*)::DOUBLE AS d FROM (
+    SELECT b_src AS c FROM marked UNION ALL SELECT b_dst FROM marked
+  ) GROUP BY c
+)
+SELECT ROUND(SUM(COALESCE(i.e_in, 0) / (SELECT m FROM m)
+             - POW(deg.d / (2 * (SELECT m FROM m)), 2)), 6) AS modularity
+FROM deg LEFT JOIN inside i ON i.c = deg.c
+"""
+
+
+def q_key_intersection(sf_dir: str):
+    """VertexSetIntersection (Intersections.scala:29) — customer ∩ supplier
+    key spaces."""
+    from ..stages.join import semi_join
+
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    s = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    return distinct(semi_join(c, s, on="id"), ["id"])
+
+
+INTERSECTION_SQL = (
+    "SELECT c_custkey AS id FROM customer INTERSECT SELECT s_suppkey FROM supplier"
+)
+
+
+def q_adjacency_lists(sf_dir: str):
+    """TripletMapping analog (TripletAttributes.scala:30) — per-vertex
+    sorted out-neighbor list over the canonical co-purchase edges."""
+    from ..stages.shuffle import hash_partition
+    from .copurchase import copurchase_edges
+
+    part = hash_partition(copurchase_edges(sf_dir), ["src"])
+
+    def lists(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "neighbors": pa.array([], pa.string())}
+            )
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        bound = np.empty(len(s), dtype=bool)
+        bound[0] = True
+        bound[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(bound)
+        stops = np.append(starts[1:], len(s))
+        # sorted neighbor list serialized (comparable/hashable for the
+        # value-hash gate; the list-typed variant is a trivial cast away)
+        neigh = [
+            ",".join(map(str, d[a:b].tolist())) for a, b in zip(starts, stops)
+        ]
+        return pa.table(
+            {"src": s[starts], "neighbors": pa.array(neigh, pa.string())}
+        )
+
+    return part.map_batches(lists, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ADJACENCY_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT src, array_to_string(list_sort(list(dst)), ',') AS neighbors
+FROM edges GROUP BY src
+"""
+
+
 SHORTEST_SQL = """
 WITH RECURSIVE edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

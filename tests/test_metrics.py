@@ -68,3 +68,19 @@ def test_shortest_paths_bfs_parity():
     for v, d in want.items():
         assert got[v] == d
     assert np.isinf(got[8]) and np.isinf(got[9])  # other component unreachable
+
+
+def test_random_walk_deterministic_and_reachable():
+    from lynxkite_ray.functions.graph.sampling import random_walk_sample, snowball_sample
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (8, 9)]
+    sym = add_reversed_edges(edges_ds(edges))
+    g = Graph.from_edges(sym)
+    a = sorted(map(tuple, (r.values() for r in random_walk_sample(g, np.array([0]), 6, 2, seed=5).take_all())))
+    b = sorted(map(tuple, (r.values() for r in random_walk_sample(g, np.array([0]), 6, 2, seed=5).take_all())))
+    assert a == b  # seed-deterministic
+    visited = {r["id"] for r in random_walk_sample(g, np.array([0]), 6, 2, seed=5).take_all()}
+    assert visited <= {0, 1, 2, 3, 4}  # never crosses into the other component
+
+    ball = {r["id"]: r["dist"] for r in snowball_sample(g, np.array([0]), radius=1).take_all()}
+    assert ball == {0: 0, 1: 1, 3: 1}
