@@ -20,20 +20,28 @@ from ray.data import Dataset
 
 def read_parquet_with_schema(paths, schema: pa.Schema, columns=None) -> Dataset:
     """ReadParquetWithSchema.scala:17-35 — read + assert declared schema
-    (names + types of the requested columns)."""
-    ds = rd.read_parquet(paths, columns=columns or schema.names)
-    actual = ds.schema()
-    want = {f.name: f.type for f in schema}
-    for name in actual.names:
-        if name in want and actual.base_schema.field(name).type != want[name]:
-            raise ValueError(
-                f"schema mismatch for column {name}: "
-                f"{actual.base_schema.field(name).type} != {want[name]}"
-            )
-    missing = set(columns or schema.names) - set(actual.names)
+    (names + types of the requested columns), validated against the parquet
+    footer before any task runs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    probe = paths if isinstance(paths, str) else paths[0]
+    if os.path.isdir(probe):
+        probe = sorted(glob.glob(os.path.join(probe, "*.parquet")))[0]
+    file_schema = pq.read_schema(probe)
+    want_cols = list(columns or schema.names)
+    missing = set(want_cols) - set(file_schema.names)
     if missing:
         raise ValueError(f"missing columns: {sorted(missing)}")
-    return ds
+    want = {f.name: f.type for f in schema}
+    for name in want_cols:
+        if name in want and file_schema.field(name).type != want[name]:
+            raise ValueError(
+                f"schema mismatch for column {name}: "
+                f"{file_schema.field(name).type} != {want[name]}"
+            )
+    return rd.read_parquet(paths, columns=want_cols)
 
 
 def read_csv(paths, **kwargs) -> Dataset:
@@ -44,6 +52,29 @@ def read_json(paths, **kwargs) -> Dataset:
     return rd.read_json(paths, **kwargs)
 
 
+def read_orc(paths) -> Dataset:
+    """ORC import (ImportOperations.scala:299-321) via pyarrow.orc — file
+    list resolved driver-side, each file read as one task."""
+    import glob
+
+    from pyarrow import orc  # noqa: F401 (availability check)
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(glob.glob(os.path.join(paths, "*.orc")))
+        else:
+            paths = [paths]
+
+    def load(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc as _orc
+
+        tabs = [_orc.read_table(p) for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(tabs)
+
+    files = rd.from_arrow(pa.table({"path": paths}))
+    return files.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
 def read_table(path: str, fmt: str = "parquet", **kwargs) -> Dataset:
     readers = {
         "parquet": rd.read_parquet,
@@ -51,8 +82,9 @@ def read_table(path: str, fmt: str = "parquet", **kwargs) -> Dataset:
         "json": rd.read_json,
         "text": rd.read_text,
         "binary": rd.read_binary_files,
+        "orc": read_orc,
     }
-    if fmt in ("avro", "delta", "jdbc", "orc"):
+    if fmt in ("avro", "delta", "jdbc"):
         raise NotImplementedError(
             f"{fmt} import (ImportOperations.scala) needs an engine not in "
             "this container; plug a reader into read_table when available"

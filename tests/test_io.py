@@ -1,0 +1,78 @@
+"""Sources/sinks: schema assertion, atomic resumable writes, ORC/CSV/JSON
+round trips, make_symmetric semantics."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lynxkite_ray.sources.io import (
+    is_complete,
+    read_orc,
+    read_parquet_with_schema,
+    read_table,
+    write_parquet_atomic,
+)
+
+
+def test_schema_checked_read():
+    schema = pa.schema([("l_orderkey", pa.int64()), ("l_quantity", pa.float64())])
+    ds = read_parquet_with_schema("/root/testdata/sf0.001/lineitem.parquet", schema)
+    assert ds.count() > 0
+    bad = pa.schema([("l_orderkey", pa.string())])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        read_parquet_with_schema("/root/testdata/sf0.001/lineitem.parquet", bad)
+    missing = pa.schema([("no_such_col", pa.int64())])
+    with pytest.raises(ValueError, match="missing"):
+        read_parquet_with_schema("/root/testdata/sf0.001/lineitem.parquet", missing)
+
+
+def test_atomic_write_and_resume_marker(tmp_path):
+    ds = rd.from_arrow(pa.table({"a": np.arange(10)}))
+    out = str(tmp_path / "out")
+    n = write_parquet_atomic(ds, out)
+    assert n == 10 and is_complete(out)
+    back = rd.read_parquet(out)
+    assert sorted(r["a"] for r in back.take_all()) == list(range(10))
+
+
+def test_orc_roundtrip(tmp_path):
+    from pyarrow import orc
+
+    t = pa.table({"x": np.arange(50), "y": [f"v{i}" for i in range(50)]})
+    p = str(tmp_path / "t.orc")
+    orc.write_table(t, p)
+    ds = read_orc(p)
+    assert ds.count() == 50
+    assert sorted(r["x"] for r in ds.take_all()) == list(range(50))
+
+
+def test_csv_json_roundtrip(tmp_path):
+    ds = rd.from_arrow(pa.table({"a": np.arange(20), "b": np.arange(20) * 1.5}))
+    cdir = str(tmp_path / "c")
+    jdir = str(tmp_path / "j")
+    ds.write_csv(cdir)
+    ds.write_json(jdir)
+    assert read_table(cdir, "csv").count() == 20
+    assert read_table(jdir, "json").count() == 20
+    with pytest.raises(NotImplementedError):
+        read_table("/tmp/x", "avro")
+
+
+def test_make_symmetric_min_matched_pairs():
+    from lynxkite_ray.stages.edges import make_symmetric
+
+    # 2×(0→1), 1×(1→0) → min = 1 pair kept each way; (2→3) unmatched → dropped
+    edges = [(0, 1), (0, 1), (1, 0), (2, 3)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+    out = sorted((r["src"], r["dst"]) for r in make_symmetric(ds).take_all())
+    assert out == [(0, 1), (1, 0)]
