@@ -55,9 +55,9 @@ def flagship(
         "rank_sum": float(np.sum(ranks)),
     }
     if with_components:
-        sym = symmetrize(edges)
-        g2 = Graph.from_edges(sym, extra_vertices=graph.vids)
-        out["components"] = connected_components(g2, checkpoint_root=checkpoint_root)
+        # connected_components treats stored edges as undirected, so the
+        # PageRank graph is reused directly — no symmetrize pass needed
+        out["components"] = connected_components(graph, checkpoint_root=checkpoint_root)
         out["num_components"] = int(len(np.unique(out["components"])))
     return out
 
