@@ -198,14 +198,16 @@ def connected_components(
         np.minimum.at(out, di, m)
         return out
 
+    from .core import tree_combine
+
     rounds = 0
     it = start_round
     while True:
         lab_ref = ray.put(label)
-        partials = ray.get([shard_min.remote(s, lab_ref, V) for s in graph.shard_refs])
+        futures = [shard_min.remote(s, lab_ref, V) for s in graph.shard_refs]
         nxt = label.copy()
-        for p in partials:
-            np.minimum(nxt, p, out=nxt)
+        if futures:
+            np.minimum(nxt, tree_combine(futures, op="min"), out=nxt)
         while True:
             jumped = nxt[nxt]
             if np.array_equal(jumped, nxt):

@@ -70,11 +70,41 @@ class _IndexMapper:
 
 
 @ray.remote
-def _shard_stats(shard: pa.Table, num_vertices: int):
+def _shard_wdeg(shard: pa.Table, num_vertices: int):
     si = shard.column("si").to_numpy()
     w = shard.column("w").to_numpy()
-    wdeg = np.bincount(si, weights=w, minlength=num_vertices)
-    return wdeg, shard.num_rows
+    return np.bincount(si, weights=w, minlength=num_vertices)
+
+
+@ray.remote
+def _sum_arrays(*arrs):
+    return np.sum(arrs, axis=0)
+
+
+@ray.remote
+def _min_arrays(*arrs):
+    out = arrs[0].copy()
+    for a in arrs[1:]:
+        np.minimum(out, a, out=out)
+    return out
+
+
+def tree_combine(refs, op: str = "sum", branch: int = 8) -> np.ndarray:
+    """Tree-reduce a list of ObjectRefs of equal-length arrays without
+    materializing them all on the driver (the per-iteration combine for
+    wide shard fan-outs; driver-side linear summing is the serial
+    bottleneck past ~8 shards)."""
+    fn = _sum_arrays if op == "sum" else _min_arrays
+    refs = list(refs)
+    while len(refs) > branch:
+        refs = [fn.remote(*refs[i : i + branch]) for i in range(0, len(refs), branch)]
+    parts = ray.get(refs)
+    if op == "sum":
+        return np.sum(parts, axis=0)
+    out = parts[0].copy()
+    for a in parts[1:]:
+        np.minimum(out, a, out=out)
+    return out
 
 
 class Graph:
@@ -132,18 +162,20 @@ class Graph:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        # Re-block to the rows/partition policy, then pin shards.
+        # Sort by dst so every shard owns a contiguous dst range: iteration
+        # partials are then range *slices* (assembled by concatenation,
+        # O(V) per iteration) instead of full V-length vectors summed
+        # (O(shards×V) — the combine would dominate past ~10 shards).
         mapped = mapped.materialize()
         n_rows = mapped.count()  # metadata only, already materialized
-        shard_refs = mapped.repartition(num_blocks_for(n_rows)).to_arrow_refs()
+        shard_refs = (
+            mapped.sort("di").repartition(num_blocks_for(n_rows)).to_arrow_refs()
+        )
 
         V = len(vids)
-        stats = ray.get([_shard_stats.remote(r, V) for r in shard_refs])
-        wdeg = np.zeros(V, dtype=np.float64)
-        num_edges = 0
-        for part, rows in stats:
-            wdeg += part
-            num_edges += rows
+        futures = [_shard_wdeg.remote(r, V) for r in shard_refs]
+        wdeg = tree_combine(futures, op="sum") if futures else np.zeros(V)
+        num_edges = n_rows
         lineage = lineage_key("graph", V, num_edges, weight_col)
         return cls(vids, shard_refs, ray.put(wdeg), num_edges, lineage)
 

@@ -70,12 +70,14 @@ def shortest_paths(graph, sources: np.ndarray, max_iterations: int = 30) -> np.n
     src_idx = np.searchsorted(graph.vids, sources)
     ok = (src_idx < V) & (graph.vids[np.clip(src_idx, 0, V - 1)] == sources)
     dist[src_idx[ok]] = 0.0
+    from .core import tree_combine
+
     for _ in range(max_iterations):
         dref = ray.put(dist)
-        partials = ray.get([_sp_relax.remote(s, dref, V) for s in graph.shard_refs])
+        futures = [_sp_relax.remote(s, dref, V) for s in graph.shard_refs]
         nxt = dist.copy()
-        for p in partials:
-            np.minimum(nxt, p, out=nxt)
+        if futures:
+            np.minimum(nxt, tree_combine(futures, op="min"), out=nxt)
         if np.array_equal(
             np.nan_to_num(nxt, posinf=-1), np.nan_to_num(dist, posinf=-1)
         ):

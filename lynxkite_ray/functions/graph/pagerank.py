@@ -34,11 +34,17 @@ from .core import Graph
 
 @ray.remote
 def _pr_contrib(shard: pa.Table, rank: np.ndarray, inv_wdeg: np.ndarray, damping: float, V: int):
+    """Per-shard gather-scatter. Shards are dst-sorted, so only the local
+    dst-range slice is returned: (lo, subvector)."""
     si = shard.column("si").to_numpy()
     di = shard.column("di").to_numpy()
     w = shard.column("w").to_numpy()
+    if len(di) == 0:
+        return 0, np.zeros(0)
+    lo = int(di.min())
+    hi = int(di.max()) + 1
     contrib = damping * rank[si] * inv_wdeg[si] * w
-    return np.bincount(di, weights=contrib, minlength=V)
+    return lo, np.bincount(di - lo, weights=contrib, minlength=hi - lo)
 
 
 def pagerank(
@@ -71,13 +77,15 @@ def pagerank(
 
     for it in range(start_iter, iterations):
         rank_ref = ray.put(rank)
-        partials = ray.get(
-            [
-                _pr_contrib.remote(s, rank_ref, inv_ref, damping, V)
-                for s in graph.shard_refs
-            ]
-        )
-        incoming = np.sum(partials, axis=0) if partials else np.zeros(V)
+        futures = [
+            _pr_contrib.remote(s, rank_ref, inv_ref, damping, V)
+            for s in graph.shard_refs
+        ]
+        incoming = np.zeros(V, dtype=np.float64)
+        for lo, vec in ray.get(futures):
+            # ranges overlap only where one dst id straddles a shard
+            # boundary — += keeps those exact
+            incoming[lo : lo + len(vec)] += vec
         total_incoming = float(incoming.sum())
         new_rank = (V - total_incoming) / V + incoming
         residual = float(np.max(np.abs(new_rank - rank))) if V else 0.0
