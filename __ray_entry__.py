@@ -319,6 +319,23 @@ def _q_lpa(sf_dir: str):
     return pa.table({"id": g.vids, "label": labels})
 
 
+def _q_triangles_per_vertex(sf_dir: str):
+    from lynxkite_ray.functions.graph import triangles_per_vertex
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges
+
+    return triangles_per_vertex(copurchase_edges(sf_dir))
+
+
+def _q_in_degree(sf_dir: str):
+    import ray.data as rd
+
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges, part_vertices
+    from lynxkite_ray.stages.edges import in_degree
+
+    vertices = rd.from_arrow(pa.table({"id": part_vertices(sf_dir)}))
+    return in_degree(copurchase_edges(sf_dir), vertices)
+
+
 def _q_triangles(sf_dir: str):
     from lynxkite_ray.functions.graph import triangle_count
     from lynxkite_ray.pipelines.copurchase import copurchase_edges
@@ -359,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_components,
         "label_propagation": _q_lpa,
         "triangle_count": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "in_degree": _q_in_degree,
         "pagerank_weighted": _q_pagerank_weighted,
         "neighbor_price_stats": _q_neighbor_price_stats,
         "sample_customers": _q_sample_customers,
@@ -387,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_floor_total": R.convert_floor_total,
         "events_tumbling_hour": R.events_tumbling_hour,
         "event_type_stats": R.event_type_stats,
+        "events_sessionize": R.events_sessionize,
         # text / dedup / similarity suite
         "text_stats": TX.q_text_stats,
         "quality_signals": TX.q_quality,
@@ -476,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_floor_total": R.CONVERT_SQL,
         "events_tumbling_hour": R.EVENTS_TUMBLING_SQL,
         "event_type_stats": R.EVENT_TYPE_SQL,
+        "events_sessionize": R.SESSIONIZE_SQL,
     }
     return rel | {
         "copurchase_edges": (
@@ -493,6 +514,32 @@ LEFT JOIN (SELECT src AS id, COUNT(*) AS cnt FROM sym GROUP BY src) c USING (id)
 ORDER BY v.id"""
         ),
         "pagerank": _pagerank_sql(5, 0.85),
+        "triangles_per_vertex": (
+            "WITH "
+            + _EDGES_CTE.strip()
+            + """,
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e3.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+vs AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+pv AS (
+  SELECT v AS id, COUNT(*) AS t FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+)
+SELECT vs.id, COALESCE(pv.t, 0) AS triangles FROM vs LEFT JOIN pv USING (id)"""
+        ),
+        "in_degree": (
+            "WITH "
+            + _EDGES_CTE.strip()
+            + """
+SELECT v.id, COALESCE(c.cnt, 0) AS degree
+FROM vertices v
+LEFT JOIN (SELECT dst AS id, COUNT(*) AS cnt FROM edges GROUP BY dst) c USING (id)"""
+        ),
         "pagerank_weighted": _pagerank_sql(
             5, 0.85, edges_cte=_WEIGHTED_EDGES_CTE, weighted=True
         ),

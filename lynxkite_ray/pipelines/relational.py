@@ -525,6 +525,94 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows over the event log: a session breaks when the gap to
+    the previous event of the same user exceeds ``gap_minutes``.  Key
+    shuffle by user (sessions are user-local), then a vectorized per-block
+    lag/cumsum — no per-row or per-group Python (SURVEY §2.10 pattern:
+    ordered log + partition-local windowing)."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    part = hash_partition(ev, ["user_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value_cents": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = (
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ts, u))
+        u, ts, cents = u[order], ts[order], cents[order]
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap_break = np.empty(len(u), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        brk = new_user | gap_break
+        # session_id = per-user 0-based running session counter
+        sess_global = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(u)))
+        user_first = u[starts]
+        # per-user renumbering of global session indices
+        first_of_user = np.empty(len(starts), dtype=bool)
+        first_of_user[0] = True
+        first_of_user[1:] = user_first[1:] != user_first[:-1]
+        user_sess_base = np.maximum.accumulate(
+            np.where(first_of_user, np.arange(len(starts)), 0)
+        )
+        session_id = np.arange(len(starts)) - user_sess_base
+        n_events = counts
+        sum_cents = np.add.reduceat(cents, starts)
+        return pa.table(
+            {
+                "user_id": user_first,
+                "session_id": session_id.astype(np.int64),
+                "n_events": n_events.astype(np.int64),
+                "sum_value_cents": sum_cents.astype(np.int64),
+                "session_start": ts[starts].astype("datetime64[us]"),
+            }
+        )
+
+    return part.map_batches(sessions, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts, cents,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents,
+       MIN(ts) AS session_start
+FROM tagged GROUP BY user_id, session_id
+"""
+
+
 EVENT_TYPE_SQL = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
