@@ -294,6 +294,17 @@ def _q_approx_distinct(sf_dir: str):
     )
 
 
+def _q_hyperball(sf_dir: str):
+    """HyperBall harmonic centrality (approximate by construction —
+    rows-only; accuracy asserted vs exact BFS in tests)."""
+    from lynxkite_ray.functions.graph.hyperball import hyperball_harmonic
+    from lynxkite_ray.util import round_away
+
+    g = _copurchase_graph(sf_dir, symmetric=True)
+    h = hyperball_harmonic(g, max_diameter=8, p=6)
+    return pa.table({"id": g.vids, "harmonic": round_away(h, 6)})
+
+
 def _q_sample_customers(sf_dir: str):
     """SampleVertices analog — seeded row sample (rows-only check: the
     sample is deterministic for a fixed seed + plan, but not SQL-mirrorable)."""
@@ -384,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walk_sample": _q_random_walk,
         "snowball_sample": _q_snowball,
         "approx_distinct_parts": _q_approx_distinct,
+        "hyperball_harmonic": _q_hyperball,
         # relational operator battery
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project_revenue": R.filter_project_revenue,

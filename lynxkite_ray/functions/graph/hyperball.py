@@ -1,0 +1,90 @@
+"""HyperBall centrality — approximate harmonic centrality by iterated
+HyperLogLog ball growth (HyperBallCentrality.scala:23-214; Boldi-Vigna
+HyperBall, public algorithm).
+
+Each vertex holds an HLL register array approximating |B(v, t)| (its
+t-hop in-ball).  Per round, registers flow along reversed edges and merge
+(register-wise max — the mergeability that makes the whole thing work);
+harmonic centrality accumulates Σ_t (|B(v,t)| − |B(v,t−1)|) / t.
+
+Dense path: the register matrix is (V, m) uint8 — V·m bytes; per-round
+merge is a vectorized np.maximum over edge-indexed rows, fanned out over
+edge shards as Ray tasks with register-matrix broadcast (same shape as the
+PageRank loop; per-shard partials are register maxima, combined by max).
+Estimates are approximate by construction → verified in tests against
+exact BFS harmonic centrality with a tolerance, not an equality oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .core import Graph
+
+
+def _estimate(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate for a (V, m) uint8 register matrix."""
+    m = regs.shape[1]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+    zeros = np.count_nonzero(regs == 0, axis=1).astype(np.float64)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1e-12), 1.0))
+    est[small] = lin[small]
+    return est
+
+
+@ray.remote
+def _ball_merge(shard: pa.Table, regs: np.ndarray):
+    """Per-shard propagation: registers of src flow to dst (in-ball growth
+    along the edge direction). Returns (dst_ids, merged_rows) for touched
+    dsts only."""
+    si = shard.column("si").to_numpy()
+    di = shard.column("di").to_numpy()
+    touched = np.unique(di)
+    local = regs[touched].copy()
+    pos = np.searchsorted(touched, di)
+    np.maximum.at(local, pos, regs[si])
+    return touched, local
+
+
+def hyperball_harmonic(
+    graph: Graph, max_diameter: int = 10, p: int = 6, seed: int = 11
+) -> np.ndarray:
+    """Approximate harmonic centrality per vertex (aligned with
+    graph.vids).  p=6 → m=64 registers/vertex (~2% rel. std.err.)."""
+    from ...ids import hash64_array
+
+    V = graph.num_vertices
+    m = 1 << p
+
+    # init: each vertex's ball contains itself
+    h = hash64_array([f"{seed}:{v}" for v in graph.vids.tolist()]).astype(np.uint64)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    width = 63 - p
+    rank = np.full(V, width + 1, dtype=np.uint8)
+    nz = w > 0
+    rank[nz] = (width - np.floor(np.log2(w[nz].astype(np.float64)))).astype(np.uint8)
+    regs = np.zeros((V, m), dtype=np.uint8)
+    regs[np.arange(V), idx] = rank
+
+    harmonic = np.zeros(V, dtype=np.float64)
+    prev = _estimate(regs)  # ≈ 1 for every vertex
+    for t in range(1, max_diameter + 1):
+        regs_ref = ray.put(regs)
+        parts = ray.get([_ball_merge.remote(s, regs_ref) for s in graph.shard_refs])
+        nxt = regs.copy()
+        for touched, local in parts:
+            # advanced indexing yields a copy — assign the max back
+            nxt[touched] = np.maximum(nxt[touched], local)
+        if np.array_equal(nxt, regs):
+            break
+        regs = nxt
+        cur = _estimate(regs)
+        harmonic += np.maximum(cur - prev, 0.0) / t
+        prev = cur
+    return harmonic

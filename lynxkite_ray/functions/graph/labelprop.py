@@ -67,6 +67,108 @@ def _lp_messages(shard: pa.Table, lab: np.ndarray):
     return t[starts], m[starts], np.add.reduceat(x, starts)
 
 
+def label_propagation_dataset(
+    edges,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+):
+    """Arbitrary-scale Dataset-only LPA (same pinned semantics): per round,
+    neighbor labels flow both directions → (vertex, label) weight sums via
+    key shuffle → per-block argmax pick (vertices are block-complete after
+    a hash partition by vertex).  Returns (id, label)."""
+    import pyarrow.compute as pc
+
+    from ...context import default_partitions
+    from ...stages.edges import add_reversed_edges, vertices_from_edges
+    from ...stages.shuffle import grouped_aggregate, hash_partition
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    both = add_reversed_edges(edges).materialize()
+    labels = (
+        vertices_from_edges(edges)
+        .map_batches(
+            lambda t: pa.table({"id": t["id"], "label": t["id"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        v = t.column("id").to_numpy()
+        lab = t.column("label").to_numpy()
+        w = t.column("w").to_numpy()
+        order = np.lexsort((lab, -w, v))
+        v, lab = v[order], lab[order]
+        first = np.empty(len(v), dtype=bool)
+        first[0] = True
+        first[1:] = v[1:] != v[:-1]
+        return pa.table({"id": v[first], "label": lab[first]})
+
+    for _ in range(iterations):
+        msgs = both.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["dst"],
+                    "label": t["label"],
+                    "one": pa.array(np.ones(t.num_rows, np.float64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = grouped_aggregate(
+            msgs, ["id", "label"], [("one", "sum", "w")], num_partitions
+        )
+        winners = hash_partition(sums, ["id"], num_partitions).map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        )
+        nxt = labels.join(
+            winners.map_batches(
+                lambda t: pa.table({"id": t["id"], "new_label": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("id",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"id": t["id"], "label": pc.coalesce(t["new_label"], t["label"])}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        changed = (
+            nxt.join(
+                labels.map_batches(
+                    lambda t: pa.table({"id": t["id"], "old": t["label"]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("id",),
+            )
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t["label"], t["old"])),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
 def label_propagation(
     graph: Graph,
     iterations: int = 5,

@@ -56,3 +56,52 @@ def test_hll_approx_count_distinct():
     for r in rows:
         want = len(exact[r["g"]])
         assert abs(r["ad"] - want) / want < 0.05  # ~1.6% stderr at p=12
+
+
+def test_lpa_dataset_matches_dense():
+    from lynxkite_ray.functions.graph import label_propagation
+    from lynxkite_ray.functions.graph.labelprop import label_propagation_dataset
+
+    rng = np.random.default_rng(23)
+    edges = list({(int(a), int(b)) for a, b in zip(rng.integers(0, 100, 300), rng.integers(0, 100, 300)) if a != b})
+    ds = edges_ds(edges)
+    g = Graph.from_edges(ds)
+    dense = dict(zip(g.vids.tolist(), label_propagation(g, iterations=4).tolist()))
+    dist = {r["id"]: r["label"] for r in label_propagation_dataset(ds, iterations=4, num_partitions=4).take_all()}
+    assert dist == dense
+
+
+def test_hyperball_harmonic_accuracy():
+    from collections import defaultdict, deque
+
+    from lynxkite_ray.functions.graph.hyperball import hyperball_harmonic
+    from lynxkite_ray.stages.edges import add_reversed_edges
+
+    rng = np.random.default_rng(31)
+    edges = list({(int(a), int(b)) for a, b in zip(rng.integers(0, 60, 240), rng.integers(0, 60, 240)) if a != b})
+    sym = add_reversed_edges(edges_ds(edges))
+    g = Graph.from_edges(sym)
+    approx = hyperball_harmonic(g, max_diameter=10, p=8)
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    exact = np.zeros(g.num_vertices)
+    vid_idx = {v: i for i, v in enumerate(g.vids.tolist())}
+    for s in g.vids.tolist():
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for n in adj[u]:
+                if n not in dist:
+                    dist[n] = dist[u] + 1
+                    q.append(n)
+        for u, d in dist.items():
+            if d > 0:
+                exact[vid_idx[u]] += 1.0 / d
+    # HLL-approximate: mean relative error bounded, ranking roughly kept
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-9)
+    assert np.median(rel) < 0.15
+    assert np.corrcoef(approx, exact)[0, 1] > 0.9
