@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_over_datasets": ST.q_sql_over_datasets,
         "median_quantity": R.median_quantity,
         "modularity_by_brand": ST.q_modularity_by_brand,
+        "edge_graph": ST.q_edge_graph,
         "key_intersection": ST.q_key_intersection,
         "adjacency_lists": ST.q_adjacency_lists,
         # pages flagship (north-star pipeline; rows-only — see pytest suite)
@@ -479,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_over_datasets": ST.SQL_OVER_DS_SQL,
         "median_quantity": R.MEDIAN_SQL,
         "modularity_by_brand": ST.MODULARITY_SQL,
+        "edge_graph": ST.EDGE_GRAPH_SQL,
         "key_intersection": ST.INTERSECTION_SQL,
         "adjacency_lists": ST.ADJACENCY_SQL,
         "text_stats": TX.TEXT_STATS_SQL,

@@ -356,6 +356,56 @@ SELECT c_mktsegment, COUNT(*) AS n,
 FROM customer GROUP BY 1
 """
 
+def q_edge_graph(sf_dir: str):
+    """EdgeGraph.scala:18 — the line graph: each edge becomes a vertex
+    (id = src·K + dst works for partkeys < K), connected when the first
+    edge's head is the second's tail.  Hash join on the shared middle
+    vertex."""
+    e = precedence_edges(sf_dir)
+    K = 1 << 22  # partkeys ≪ 2^22 → exact composite ids
+
+    a = e.map_batches(
+        lambda t: pa.table(
+            {
+                "mid": t["dst"],
+                "e_from": pc.add(
+                    pc.multiply(t["src"], pa.scalar(K, pa.int64())), t["dst"]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    b = e.map_batches(
+        lambda t: pa.table(
+            {
+                "mid": t["src"],
+                "e_to": pc.add(
+                    pc.multiply(t["src"], pa.scalar(K, pa.int64())), t["dst"]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = a.join(b, join_type="inner", num_partitions=8, on=("mid",))
+    return distinct(
+        j.map_batches(
+            lambda t: pa.table({"src": t["e_from"], "dst": t["e_to"]}),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"],
+    )
+
+
+EDGE_GRAPH_SQL = (
+    "WITH "
+    + PREC_CTE.strip()
+    + """
+SELECT DISTINCT a.src * 4194304 + a.dst AS src, b.src * 4194304 + b.dst AS dst
+FROM prec a JOIN prec b ON a.dst = b.src
+"""
+)
+
+
 def q_modularity_by_brand(sf_dir: str):
     """Modularity.scala:30 analog — modularity of the p_brand partition of
     the co-purchase graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] over undirected
