@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_quantity": R.median_quantity,
         "modularity_by_brand": ST.q_modularity_by_brand,
         "edge_graph": ST.q_edge_graph,
+        "grow_segmentation": ST.q_grow_segmentation,
+        "coloring": ST.q_coloring,
+        "kmeans_clusters": ST.q_kmeans_clusters,
         "key_intersection": ST.q_key_intersection,
         "adjacency_lists": ST.q_adjacency_lists,
         # pages flagship (north-star pipeline; rows-only — see pytest suite)
@@ -481,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "median_quantity": R.MEDIAN_SQL,
         "modularity_by_brand": ST.MODULARITY_SQL,
         "edge_graph": ST.EDGE_GRAPH_SQL,
+        "grow_segmentation": ST.GROW_SEG_SQL,
         "key_intersection": ST.INTERSECTION_SQL,
         "adjacency_lists": ST.ADJACENCY_SQL,
         "text_stats": TX.TEXT_STATS_SQL,

@@ -406,6 +406,73 @@ FROM prec a JOIN prec b ON a.dst = b.src
 )
 
 
+def q_grow_segmentation(sf_dir: str):
+    """GrowSegmentation.scala:22 analog — brand segments grown by one
+    co-purchase hop: (brand, part) membership ∪ neighbors of members."""
+    import pyarrow.parquet as pq
+
+    from ..stages.partition import broadcast_lookup
+    from .copurchase import copurchase_symmetric
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    sym = copurchase_symmetric(sf_dir)
+    # neighbor inherits the member's segment: edge (member → neighbor)
+    grown = broadcast_lookup(sym, brand, "src", "segment").map_batches(
+        lambda t: pa.table({"segment": t["segment"], "p_partkey": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    base = rd.from_arrow(
+        pa.table(
+            {
+                "segment": part.column("p_brand"),
+                "p_partkey": part.column("p_partkey"),
+            }
+        )
+    )
+    return distinct(base.union(grown), ["segment", "p_partkey"])
+
+
+GROW_SEG_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)
+SELECT p_brand AS segment, p_partkey FROM part
+UNION
+SELECT p.p_brand AS segment, e.dst AS p_partkey
+FROM sym e JOIN part p ON p.p_partkey = e.src
+"""
+
+
+def q_coloring(sf_dir: str):
+    """Greedy Welsh-Powell coloring (rows-only: heuristic color count;
+    validity asserted in tests)."""
+    from ..functions.graph.coloring import greedy_coloring
+    from .copurchase import copurchase_graph
+
+    g = copurchase_graph(sf_dir, symmetric=False)
+    colors = greedy_coloring(g)
+    return pa.table({"id": g.vids, "color": colors})
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """ClassifyWithModel analog — deterministic KMeans trained on the
+    embeddings, scored by an actor pool (rows-only; determinism + state
+    shape tested)."""
+    from ..functions.models import classify_with_model, train_kmeans
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_kmeans(emb, k=8, iterations=5)
+    return classify_with_model(emb, centroids).map_batches(
+        lambda t: t.drop_columns(["dist"]), batch_format="pyarrow"
+    )
+
+
 def q_modularity_by_brand(sf_dir: str):
     """Modularity.scala:30 analog — modularity of the p_brand partition of
     the co-purchase graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] over undirected

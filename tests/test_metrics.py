@@ -84,3 +84,42 @@ def test_random_walk_deterministic_and_reachable():
 
     ball = {r["id"]: r["dist"] for r in snowball_sample(g, np.array([0]), radius=1).take_all()}
     assert ball == {0: 0, 1: 1, 3: 1}
+
+
+def test_coloring_validity():
+    from lynxkite_ray.functions.graph.coloring import greedy_coloring
+
+    rng = np.random.default_rng(9)
+    edges = list({(int(a), int(b)) for a, b in zip(rng.integers(0, 60, 200), rng.integers(0, 60, 200)) if a != b})
+    g = Graph.from_edges(edges_ds(edges))
+    colors = dict(zip(g.vids.tolist(), greedy_coloring(g).tolist()))
+    for a, b in edges:
+        assert colors[a] != colors[b]
+    assert min(colors.values()) == 0
+
+
+def test_kmeans_scorer_deterministic_and_coherent():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import classify_with_model, train_kmeans
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 8)) * 5
+    vecs = centers[np.arange(200) % 4] + rng.standard_normal((200, 8)) * 0.05
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": list(range(200)),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    c1 = train_kmeans(ds, k=4, iterations=8)
+    c2 = train_kmeans(ds, k=4, iterations=8)
+    np.testing.assert_array_equal(c1, c2)  # deterministic training
+    out = {r["vec_id"]: r["cluster"] for r in classify_with_model(ds, c1).take_all()}
+    # members of the same true cluster land in the same learned cluster
+    for base in range(4):
+        got = {out[i] for i in range(base, 200, 4)}
+        assert len(got) == 1
