@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": TX.q_ann_topk,
         "ann_lsh": TX.q_ann_lsh,
         "media_features": TX.q_media_features,
+        "fingerprint_matching": TX.q_fingerprint_matching,
         # structure transforms (directed precedence graph + subgraphs)
         "precedence_edges": ST.q_precedence_edges,
         "precedence_multiplicity": ST.q_precedence_multiplicity,

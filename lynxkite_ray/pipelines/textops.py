@@ -151,5 +151,31 @@ def q_ann_lsh(sf_dir: str):
     return S.ann_lsh(_emb(sf_dir), query_ids=list(range(5)), k=5)
 
 
+def q_fingerprint_matching(sf_dir: str):
+    """Fingerprinting.scala analog — match documents from sources src0-9
+    against src10-19 by token similarity, deterministic greedy 1:1
+    (rows-only: the greedy stabilization is not SQL-expressible)."""
+    import pyarrow.compute as pc
+
+    from ..functions.matching import fingerprint_match
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    left = docs.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["source"], value_set=pa.array([f"src{i}" for i in range(10)]))
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    right = docs.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["source"], value_set=pa.array([f"src{i}" for i in range(10, 20)]))
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    return fingerprint_match(left, right, threshold=0.8)
+
+
 def q_media_features(sf_dir: str):
     return extract_media_features(documents_as_media(sf_dir))

@@ -157,3 +157,27 @@ def test_media_pipeline_schema():
     rows = out.take(5)
     assert set(rows[0]) == {"media_id", "kind", "n_bytes", "width", "height", "duration_ms"}
     assert out.count() == 500
+
+
+def test_fingerprint_matching_planted():
+    from lynxkite_ray.functions.matching import fingerprint_match
+
+    left_texts = [
+        "alpha beta gamma delta epsilon",
+        "one two three four five six",
+        "red green blue yellow purple",
+    ]
+    right_texts = [
+        "one two three four five seven",   # near left[1]
+        "alpha beta gamma delta zeta",     # near left[0]
+        "completely different words here",
+    ]
+    left = docs_ds(left_texts)
+    import pyarrow as pa
+    import ray.data as rd
+
+    right = rd.from_arrow(
+        pa.table({"doc_id": [10, 11, 12], "text": right_texts})
+    )
+    out = {(r["left_id"], r["right_id"]) for r in fingerprint_match(left, right, threshold=0.5).take_all()}
+    assert out == {(0, 11), (1, 10)}
