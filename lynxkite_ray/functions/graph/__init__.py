@@ -1,5 +1,5 @@
-from .core import Graph  # noqa: F401
-from .pagerank import pagerank  # noqa: F401
-from .components import connected_components  # noqa: F401
-from .labelprop import label_propagation  # noqa: F401
-from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .core import DatasetGraph, Graph  # noqa: F401
+from .pagerank import pagerank, pagerank_dataset  # noqa: F401
+from .components import connected_components, connected_components_dataset  # noqa: F401
+from .labelprop import label_propagation, label_propagation_dataset  # noqa: F401
+from .triangles import embeddedness, triangle_count, triangles_per_vertex  # noqa: F401

@@ -56,6 +56,7 @@ def connected_components_dataset(
     edges,
     num_partitions: int | None = None,
     max_rounds: int = 50,
+    vertices=None,
 ):
     """Arbitrary-scale Dataset-only components: labels never leave the
     Dataset plane (the beyond-DENSE_VERTEX_THRESHOLD path).
@@ -75,9 +76,10 @@ def connected_components_dataset(
     if num_partitions is None:
         num_partitions = default_partitions()
     both = add_reversed_edges(edges).materialize()
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
     labels = (
-        vertices_from_edges(edges)
-        .map_batches(
+        vertices.map_batches(
             lambda t: pa.table({"id": t["id"], "label": t["id"]}),
             batch_format="pyarrow",
         )
@@ -162,9 +164,13 @@ def connected_components(
     graph: Graph,
     checkpoint_root: str | None = None,
     job: str = "cc",
-) -> np.ndarray:
+):
     """Returns per-vertex component labels (= min vertex id in component),
-    aligned with graph.vids."""
+    aligned with graph.vids.  DatasetGraph handles dispatch to
+    ``connected_components_dataset`` and return a Dataset of
+    (id, component) instead."""
+    if not graph.is_dense:
+        return connected_components_dataset(graph.edges, vertices=graph.vertices)
     V = graph.num_vertices
     if graph.num_edges <= LOCAL_EDGE_THRESHOLD:
         si, di, _ = graph.gather_edges()
@@ -189,25 +195,40 @@ def connected_components(
             start_round = latest + 1
 
     @ray.remote
-    def shard_min(shard: pa.Table, lab: np.ndarray, V: int):
+    def shard_min(shard: pa.Table, lab: np.ndarray):
+        """Shards are dst-sorted: the di side returns a contiguous range
+        *slice* (lo, vec); the scattered si side returns a compacted sparse
+        (unique si, per-si min) pair — per-round traffic is O(V + Σ unique
+        keys per shard), not O(shards × V) (same fix as _pr_contrib)."""
         si = shard.column("si").to_numpy()
         di = shard.column("di").to_numpy()
+        if len(di) == 0:
+            e = np.empty(0, np.int64)
+            return 0, e, e, e
         m = np.minimum(lab[si], lab[di])
-        out = np.full(V, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(out, si, m)
-        np.minimum.at(out, di, m)
-        return out
-
-    from .core import tree_combine
+        lo = int(di.min())
+        hi = int(di.max()) + 1
+        dvec = np.full(hi - lo, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(dvec, di - lo, m)
+        order = np.argsort(si, kind="stable")
+        s_sorted, m_sorted = si[order], m[order]
+        bound = np.empty(len(s_sorted), dtype=bool)
+        bound[0] = True
+        bound[1:] = s_sorted[1:] != s_sorted[:-1]
+        starts = np.flatnonzero(bound)
+        return lo, dvec, s_sorted[starts], np.minimum.reduceat(m_sorted, starts)
 
     rounds = 0
     it = start_round
     while True:
         lab_ref = ray.put(label)
-        futures = [shard_min.remote(s, lab_ref, V) for s in graph.shard_refs]
+        futures = [shard_min.remote(s, lab_ref) for s in graph.shard_refs]
         nxt = label.copy()
-        if futures:
-            np.minimum(nxt, tree_combine(futures, op="min"), out=nxt)
+        for lo, dvec, s_u, m_u in ray.get(futures):
+            if len(dvec):
+                np.minimum(nxt[lo : lo + len(dvec)], dvec, out=nxt[lo : lo + len(dvec)])
+            if len(s_u):
+                np.minimum.at(nxt, s_u, m_u)
         while True:
             jumped = nxt[nxt]
             if np.array_equal(jumped, nxt):

@@ -107,10 +107,31 @@ def tree_combine(refs, op: str = "sum", branch: int = 8) -> np.ndarray:
     return out
 
 
+class DatasetGraph:
+    """Graph handle for the beyond-DENSE_VERTEX_THRESHOLD regime: edges and
+    the vertex set stay Datasets end-to-end; the iterative algorithms
+    dispatch to their Dataset-plane variants (pagerank_dataset /
+    connected_components_dataset / label_propagation_dataset) and return
+    Datasets rather than numpy vectors.  Construction never collects
+    anything O(V) to the driver."""
+
+    is_dense = False
+
+    def __init__(self, edges: Dataset, vertices: Dataset, weight_col, num_edges, lineage):
+        self.edges = edges  # materialized (src, dst[, weight]) Dataset
+        self.vertices = vertices  # materialized distinct (id) Dataset
+        self.weight_col = weight_col
+        self.num_vertices = vertices.count()  # metadata on materialized ds
+        self.num_edges = num_edges
+        self.lineage = lineage
+
+
 class Graph:
     """Immutable distributed graph: sorted vertex ids + edge shards (index
     space) + per-src weighted out-degree vector.  All object-store resident;
     the handle is cheap to pass around."""
+
+    is_dense = True
 
     def __init__(self, vids, shard_refs, wdeg_ref, num_edges, lineage):
         self.vids = vids  # np.ndarray sorted int64
@@ -146,15 +167,42 @@ class Graph:
             )
             return pa.table({"id": u})
 
-        uniq = edges.map_batches(block_unique, batch_format="pyarrow", zero_copy_batch=True)
-        vids = np.unique(_collect_numpy(uniq, "id"))
-        if extra_vertices is not None and len(extra_vertices):
-            vids = np.unique(np.concatenate([vids, np.asarray(extra_vertices, np.int64)]))
-        if len(vids) > DENSE_VERTEX_THRESHOLD:
-            raise NotImplementedError(
-                "dense Graph handle capped at DENSE_VERTEX_THRESHOLD vertices; "
-                "use the dataset-mode algorithms (e.g. pagerank_dataset) instead"
-            )
+        uniq = edges.map_batches(
+            block_unique, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        # Σ per-block distinct counts is a free upper bound on V; only when
+        # it exceeds the dense cap do we pay a distinct shuffle to learn the
+        # true V — and only collect when that is provably collectable.
+        upper_bound = uniq.count()
+        if upper_bound > DENSE_VERTEX_THRESHOLD:
+            import ray.data as rd
+
+            from ...stages.shuffle import distinct as ds_distinct
+
+            vset = uniq
+            if extra_vertices is not None and len(extra_vertices):
+                vset = vset.union(
+                    rd.from_arrow(
+                        pa.table({"id": np.asarray(extra_vertices, np.int64)})
+                    )
+                )
+            vset = ds_distinct(vset, ["id"]).materialize()
+            if vset.count() > DENSE_VERTEX_THRESHOLD:
+                # Dataset-mode fallback: algorithms dispatch to the
+                # streaming variants; nothing O(V) touches the driver.
+                edges_mat = edges.materialize()
+                n_edges = edges_mat.count()
+                lineage = lineage_key(
+                    "dataset-graph", vset.count(), n_edges, weight_col
+                )
+                return DatasetGraph(edges_mat, vset, weight_col, n_edges, lineage)
+            vids = np.unique(_collect_numpy(vset, "id"))
+        else:
+            vids = np.unique(_collect_numpy(uniq, "id"))
+            if extra_vertices is not None and len(extra_vertices):
+                vids = np.unique(
+                    np.concatenate([vids, np.asarray(extra_vertices, np.int64)])
+                )
 
         vids_ref = ray.put(vids)
         mapped = edges.map_batches(

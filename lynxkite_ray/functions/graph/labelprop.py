@@ -71,6 +71,8 @@ def label_propagation_dataset(
     edges,
     iterations: int = 5,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
+    vertices=None,
 ):
     """Arbitrary-scale Dataset-only LPA (same pinned semantics): per round,
     neighbor labels flow both directions → (vertex, label) weight sums via
@@ -79,15 +81,37 @@ def label_propagation_dataset(
     import pyarrow.compute as pc
 
     from ...context import default_partitions
-    from ...stages.edges import add_reversed_edges, vertices_from_edges
+    from ...stages.edges import vertices_from_edges
     from ...stages.shuffle import grouped_aggregate, hash_partition
 
     if num_partitions is None:
         num_partitions = default_partitions()
-    both = add_reversed_edges(edges).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        if weight_col is not None:
+            w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            w = np.ones(len(s), dtype=np.float64)
+        return pa.table(
+            {
+                "src": np.concatenate([s, d]),
+                "dst": np.concatenate([d, s]),
+                "w": np.concatenate([w, w]),
+            }
+        )
+
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    both = (
+        edges.select_columns(cols)
+        .map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
     labels = (
-        vertices_from_edges(edges)
-        .map_batches(
+        vertices.map_batches(
             lambda t: pa.table({"id": t["id"], "label": t["id"]}),
             batch_format="pyarrow",
         )
@@ -119,11 +143,7 @@ def label_propagation_dataset(
             on=("src",),
         ).map_batches(
             lambda t: pa.table(
-                {
-                    "id": t["dst"],
-                    "label": t["label"],
-                    "one": pa.array(np.ones(t.num_rows, np.float64)),
-                }
+                {"id": t["dst"], "label": t["label"], "one": t["w"]}
             ),
             batch_format="pyarrow",
         )
@@ -174,9 +194,18 @@ def label_propagation(
     iterations: int = 5,
     checkpoint_root: str | None = None,
     job: str = "lpa",
-) -> np.ndarray:
+):
     """Returns per-vertex community labels (vertex ids), aligned with
-    graph.vids. Stops early when a round changes nothing."""
+    graph.vids. Stops early when a round changes nothing.  DatasetGraph
+    handles dispatch to ``label_propagation_dataset`` and return a Dataset
+    of (id, label) instead."""
+    if not graph.is_dense:
+        return label_propagation_dataset(
+            graph.edges,
+            iterations=iterations,
+            weight_col=graph.weight_col,
+            vertices=graph.vertices,
+        )
     V = graph.num_vertices
     label = np.arange(V, dtype=np.int64)
 

@@ -170,10 +170,16 @@ def _edge_tri_chunk(csr_ref, lo: int, hi: int, m: int, V: int):
 def embeddedness(edges: Dataset) -> Dataset:
     """Embeddedness.scala:15 — per-edge count of common neighbors of the
     two endpoints over the undirected simple graph (= triangles through the
-    edge). Returns (src, dst, common) for every canonical src<dst edge."""
+    edge). Returns (src, dst, common) for every canonical src<dst edge.
+
+    Gated like triangle_count (LOCAL_EDGE_THRESHOLD,
+    ConnectedComponents.scala:19 philosophy): above it, the edge list never
+    touches the driver — Dataset-join wedge closure instead."""
     import ray.data as rd
 
     canon = canonical_edges(edges).materialize()
+    if canon.count() > LOCAL_EDGE_THRESHOLD:
+        return _embeddedness_distributed(canon)
     s, d = _gather_canonical(canon)
     if len(s) == 0:
         return rd.from_arrow(
@@ -202,19 +208,13 @@ def embeddedness(edges: Dataset) -> Dataset:
     return rd.from_arrow(pa.table({"src": lo_, "dst": hi_, "common": counts}))
 
 
-def _triangles_distributed(
-    canon: Dataset, per_vertex: bool, num_partitions: int | None = None
-):
-    """Dataset-join wedge closure — the arbitrary-scale fallback when the
-    CSR can't be pinned. Degree-ordered orientation via a degree aggregate +
-    two hash joins; wedges stream through the closing join."""
-    from ray.data.aggregate import Count, Sum
+def _closed_wedges(canon: Dataset, num_partitions: int):
+    """Degree-ordered orientation + two hash joins → Dataset of closed
+    wedges (a, b, c): one row per triangle.  The shared core of every
+    arbitrary-scale triangle consumer."""
+    from ray.data.aggregate import Count
 
-    from ...context import default_partitions
     from ...stages.edges import add_reversed_edges
-
-    if num_partitions is None:
-        num_partitions = default_partitions()
     deg = (
         add_reversed_edges(canon)
         .groupby("src")
@@ -247,9 +247,22 @@ def _triangles_distributed(
     o_b = o.map_batches(lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow")
     wedges = o.join(o_b, join_type="inner", num_partitions=num_partitions, on=("b",))
     o_ac = o.map_batches(lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow")
-    tri = wedges.join(
+    return wedges.join(
         o_ac, join_type="inner", num_partitions=num_partitions, on=("a", "c")
     )
+
+
+def _triangles_distributed(
+    canon: Dataset, per_vertex: bool, num_partitions: int | None = None
+):
+    """Dataset-join wedge closure — the arbitrary-scale fallback when the
+    CSR can't be pinned. Degree-ordered orientation via a degree aggregate +
+    two hash joins; wedges stream through the closing join."""
+    from ...context import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    tri = _closed_wedges(canon, num_partitions)
     if not per_vertex:
         return tri.count()
     from ray.data.aggregate import Sum as _Sum
@@ -270,3 +283,46 @@ def _triangles_distributed(
         batch_format="pyarrow",
     )
     return flat.groupby("id").aggregate(_Sum("one", alias_name="triangles"))
+
+
+def _embeddedness_distributed(canon: Dataset, num_partitions: int | None = None):
+    """Arbitrary-scale embeddedness: closed wedges → per-canonical-pair
+    counts via key shuffle → left join back onto the edge list (fill 0)."""
+    import pyarrow.compute as pc
+
+    from ...context import default_partitions
+    from ...stages.shuffle import grouped_aggregate
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    tri = _closed_wedges(canon, num_partitions)
+
+    def tri_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        c = t.column("c").to_numpy()
+        s = np.concatenate([np.minimum(a, b), np.minimum(b, c), np.minimum(a, c)])
+        d = np.concatenate([np.maximum(a, b), np.maximum(b, c), np.maximum(a, c)])
+        return pa.table(
+            {"src": s, "dst": d, "one": np.ones(3 * t.num_rows, np.int64)}
+        )
+
+    counts = grouped_aggregate(
+        tri.map_batches(tri_edges, batch_format="pyarrow"),
+        ["src", "dst"],
+        [("one", "sum", "common")],
+        num_partitions,
+    )
+    joined = canon.join(
+        counts, join_type="left_outer", num_partitions=num_partitions, on=("src", "dst")
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "common": pc.fill_null(t["common"], 0),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -362,7 +362,18 @@ def q_edge_graph(sf_dir: str):
     edge's head is the second's tail.  Hash join on the shared middle
     vertex."""
     e = precedence_edges(sf_dir)
-    K = 1 << 22  # partkeys ≪ 2^22 → exact composite ids
+    # Composite line-graph vertex id = src·K + dst is collision-free iff
+    # dst < K; derive K = max(l_partkey)+1 at runtime (a fixed constant
+    # silently collides once partkeys outgrow it) — the oracle SQL derives
+    # the same scalar.
+    K = (
+        int(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]).max(
+                "l_partkey"
+            )
+        )
+        + 1
+    )
 
     a = e.map_batches(
         lambda t: pa.table(
@@ -399,9 +410,10 @@ def q_edge_graph(sf_dir: str):
 EDGE_GRAPH_SQL = (
     "WITH "
     + PREC_CTE.strip()
-    + """
-SELECT DISTINCT a.src * 4194304 + a.dst AS src, b.src * 4194304 + b.dst AS dst
-FROM prec a JOIN prec b ON a.dst = b.src
+    + """,
+kk AS (SELECT MAX(l_partkey) + 1 AS k FROM lineitem)
+SELECT DISTINCT a.src * kk.k + a.dst AS src, b.src * kk.k + b.dst AS dst
+FROM prec a JOIN prec b ON a.dst = b.src CROSS JOIN kk
 """
 )
 

@@ -30,10 +30,15 @@ def q_text_stats(sf_dir: str):
     return T.text_stats(_docs(sf_dir))
 
 
+# CASE guards: tokenize('') = [] in the engine, but DuckDB's
+# regexp_split_to_array(trim(''), ...) yields [''] (1 token) — blank docs
+# would diverge without them.
 TEXT_STATS_SQL = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct,
        length(regexp_replace(text, '\s', '', 'g')) AS n_token_chars
 FROM documents
 """
@@ -51,14 +56,19 @@ WITH tk AS (
   SELECT doc_id,
          regexp_split_to_array(trim(text), '\s+') AS toks,
          regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
-         length(regexp_replace(text, '\s', '', 'g')) AS nchars
+         length(regexp_replace(text, '\s', '', 'g')) AS nchars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntoks
   FROM documents
 )
 SELECT doc_id,
-       ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS ttr,
-       ROUND(len(list_filter(ltoks, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
-             / len(toks)::DOUBLE, 6) AS stop_ratio,
-       ROUND(nchars::DOUBLE / len(toks)::DOUBLE, 6) AS mean_token_len
+       CASE WHEN ntoks = 0 THEN 0.0 ELSE
+         ROUND(len(list_distinct(toks))::DOUBLE / ntoks::DOUBLE, 6) END AS ttr,
+       CASE WHEN ntoks = 0 THEN 0.0 ELSE
+         ROUND(len(list_filter(ltoks, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+               / ntoks::DOUBLE, 6) END AS stop_ratio,
+       CASE WHEN ntoks = 0 THEN 0.0 ELSE
+         ROUND(nchars::DOUBLE / ntoks::DOUBLE, 6) END AS mean_token_len
 FROM tk
 """
 

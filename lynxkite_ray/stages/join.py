@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -50,8 +52,11 @@ def hash_join(
 
 # Per-worker-process cache of deserialized broadcast tables, so stateless
 # tasks don't re-deserialize the small side per batch.  Keyed by ObjectRef
-# hex; tiny by construction (broadcast sides are small).
+# hex.  Bounded LRU: a long-lived worker only needs the broadcast side of
+# the stage it is currently executing, so old entries are evicted instead
+# of accumulating one copy per join ever run in the session.
 _BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 4
 
 
 def _fetch_small(small_ref):
@@ -60,7 +65,11 @@ def _fetch_small(small_ref):
         small = ray.get(small_ref)
         if isinstance(small, pa.Table):
             small = small.to_pandas()
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         _BCAST_CACHE[key] = small
+    else:
+        _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)  # refresh LRU position
     return _BCAST_CACHE[key]
 
 
@@ -102,11 +111,44 @@ def _key_set(keys_ds: Dataset, col: str) -> np.ndarray:
     return np.unique(np.concatenate(parts)) if parts else np.array([])
 
 
+# Above this many distinct keys the broadcast membership set stops being
+# "small" (every task holds a copy); degrade to a hash-shuffle semi/anti
+# join instead.  HybridRDD applies the same small-side bound by
+# construction (HybridRDD.scala:43-44).
+SEMI_BROADCAST_LIMIT = int(os.environ.get("LKR_SEMI_BCAST_LIMIT", 5_000_000))
+
+
+def _distinct_keys_ds(keys: Dataset, key_col: str, on: str) -> Dataset:
+    from .shuffle import distinct
+
+    k = distinct(keys.select_columns([key_col]), [key_col])
+    if key_col != on:
+        k = k.map_batches(
+            lambda t: t.rename_columns([on]), batch_format="pyarrow"
+        )
+    return k
+
+
 def semi_join(big: Dataset, keys, on: str, key_col: str | None = None) -> Dataset:
-    """Keep rows of ``big`` whose ``on`` appears in ``keys`` (broadcast
-    membership, no shuffle)."""
+    """Keep rows of ``big`` whose ``on`` appears in ``keys``.
+
+    Small key sets (≤ SEMI_BROADCAST_LIMIT) take the broadcast membership
+    path (no shuffle of ``big``); larger sets degrade to a hash-shuffle
+    inner join on the distinct keys."""
     key_col = key_col or on
-    vals = _key_set(keys, key_col) if isinstance(keys, Dataset) else np.asarray(keys)
+    if isinstance(keys, Dataset):
+        k = _distinct_keys_ds(keys, key_col, on)
+        n = k.count()
+        if n > SEMI_BROADCAST_LIMIT:
+            from ..context import default_partitions
+
+            return big.join(
+                k, join_type="inner",
+                num_partitions=default_partitions(n), on=(on,),
+            )
+        vals = _key_set(k, on)
+    else:
+        vals = np.asarray(keys)
     ref = ray.put(vals)
 
     def body(t: pa.Table) -> pa.Table:
@@ -118,7 +160,30 @@ def semi_join(big: Dataset, keys, on: str, key_col: str | None = None) -> Datase
 
 def anti_join(big: Dataset, keys, on: str, key_col: str | None = None) -> Dataset:
     key_col = key_col or on
-    vals = _key_set(keys, key_col) if isinstance(keys, Dataset) else np.asarray(keys)
+    if isinstance(keys, Dataset):
+        k = _distinct_keys_ds(keys, key_col, on)
+        n = k.count()
+        if n > SEMI_BROADCAST_LIMIT:
+            from ..context import default_partitions
+
+            k = k.map_batches(
+                lambda t: t.append_column(
+                    "_semi", pa.array(np.ones(t.num_rows, np.int8))
+                ),
+                batch_format="pyarrow",
+            )
+            j = big.join(
+                k, join_type="left_outer",
+                num_partitions=default_partitions(n), on=(on,),
+            )
+            j = j.map_batches(
+                lambda t: t.filter(pc.is_null(t["_semi"])).drop_columns(["_semi"]),
+                batch_format="pyarrow",
+            )
+            return j
+        vals = _key_set(k, on)
+    else:
+        vals = np.asarray(keys)
     ref = ray.put(vals)
 
     def body(t: pa.Table) -> pa.Table:
