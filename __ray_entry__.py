@@ -198,14 +198,14 @@ def _q_pagerank_weighted(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    from lynxkite_ray.context import num_blocks_for
+    from lynxkite_ray.context import default_partitions, num_blocks_for
 
     path = f"{sf_dir}/lineitem.parquet"
     nb = num_blocks_for(pq.read_metadata(path).num_rows)
     li = rd.read_parquet(path, columns=["l_orderkey", "l_partkey"], override_num_blocks=nb)
     a = li.map_batches(lambda t: t.rename_columns(["k", "src"]), batch_format="pyarrow")
     b = li.map_batches(lambda t: t.rename_columns(["k", "dst"]), batch_format="pyarrow")
-    pairs = a.join(b, join_type="inner", num_partitions=8, on=("k",))
+    pairs = a.join(b, join_type="inner", num_partitions=default_partitions(), on=("k",))
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.less(t["src"], t["dst"])).select(["src", "dst"]),
         batch_format="pyarrow",

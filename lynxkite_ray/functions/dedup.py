@@ -18,6 +18,7 @@ entity matching; these operators are the Ray-native generalization.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -29,6 +30,15 @@ from ray.data.aggregate import Count, Min, Sum
 
 from ..ids import hash64_array
 from .text import tokenize
+
+# Words with document frequency above this never generate candidate pairs
+# (a df-D word alone emits D·(D−1)/2 pairs — one stopword-grade token makes
+# the exact inverted-index path quadratic in corpus size).  Pair *values*
+# stay exact: the verify step recounts common words over the full posting
+# lists; only pairs whose every shared word is above the cap can be missed,
+# which at near-dup thresholds requires a document made almost entirely of
+# corpus-wide stopwords.
+JACCARD_MAX_DF = int(os.environ.get("LKR_JACCARD_MAX_DF", 1000))
 
 # ------------------------------------------------------------------ exact
 
@@ -111,15 +121,20 @@ def minhash_signatures(ds: Dataset, num_perm=128, shingle_k=3, seed=7,
     )
 
 
-def lsh_candidate_pairs(sigs: Dataset, bands: int = 32, id_col: str = "doc_id") -> Dataset:
+def lsh_candidate_pairs(
+    sigs: Dataset, bands: int = 32, id_col: str = "doc_id", distinct_pairs: bool = True
+) -> Dataset:
     """Signatures → banded bucket keys → per-bucket candidate pairs
     (src < dst, distinct). The bucket groupby is THE shuffle; buckets are
     (band_idx, band_hash) so hot shingle content salts across bands."""
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy()
-        sig = np.stack(
-            [np.asarray(x) for x in t.column("sig").to_pylist()]
-        )  # (n, num_perm)
+        col = t.column("sig").combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            width = col.type.list_size
+            sig = col.flatten().to_numpy().reshape(len(ids), width)
+        else:
+            sig = np.stack([np.asarray(x) for x in col.to_pylist()])
         n, p = sig.shape
         rows_per_band = p // bands
         band_ids = []
@@ -145,7 +160,7 @@ def lsh_candidate_pairs(sigs: Dataset, bands: int = 32, id_col: str = "doc_id") 
 
     # Hash-partition by bucket key, then expand every bucket's pairs in one
     # vectorized pass per block (keys are block-complete after the shuffle).
-    from ..stages.shuffle import distinct, hash_partition
+    from ..stages.shuffle import COALESCE_BATCH, distinct, hash_partition
 
     def block_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -181,22 +196,25 @@ def lsh_candidate_pairs(sigs: Dataset, bands: int = 32, id_col: str = "doc_id") 
         )
 
     cand = hash_partition(buckets, ["band", "bh"]).map_batches(
-        block_pairs, batch_format="pyarrow", zero_copy_batch=True
+        block_pairs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
     )
+    if not distinct_pairs:
+        # per-block dedup only (skips one shuffle) — callers that tolerate
+        # cross-band duplicate candidates (e.g. minhash_dedup, whose verify
+        # and CC are duplicate-insensitive) opt in
+        from ..stages.edges import _local_dedup
+
+        return cand.map_batches(
+            _local_dedup, batch_format="pyarrow", batch_size=COALESCE_BATCH
+        )
     return distinct(cand, ["src", "dst"])
 
 
-def jaccard_pairs(
-    ds: Dataset,
-    threshold: float,
-    col: str = "text",
-    id_col: str = "doc_id",
-    num_partitions: int | None = None,
-    candidates: Dataset | None = None,
-) -> Dataset:
-    """Exact distinct-word Jaccard for all pairs ≥ threshold, via the
-    inverted-index self-join (word → doc). When ``candidates`` is given
-    (LSH output), pairs are pre-filtered to it (broadcast membership)."""
+def _doc_words(ds: Dataset, col: str, id_col: str) -> Dataset:
+    """(id, word) — the per-document distinct-word posting table."""
 
     def words(t: pa.Table) -> pa.Table:
         out_id = []
@@ -212,156 +230,39 @@ def jaccard_pairs(
             }
         )
 
-    w = ds.map_batches(words, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    counts = w.groupby(id_col).aggregate(Count(alias_name="n_words"))
-
-    # Inverted-index pair generation: one hash shuffle by word, then a
-    # vectorized per-posting-list pair expansion (triu indices).  Equivalent
-    # to the self-join on word but with one shuffle instead of a full join
-    # exchange (the posting list is the unit of work).
-    def posting_pairs(df):
-        import pandas as pd
-
-        ids = np.sort(df[id_col].to_numpy())
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        iu, ju = np.triu_indices(n, 1)
-        return pd.DataFrame({"src": ids[iu], "dst": ids[ju]})
-
-    joined = w.groupby("word").map_groups(posting_pairs, batch_format="pandas")
-    if candidates is not None:
-        cand_keys = set()
-        for batch in candidates.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            cand_keys.update(
-                zip(batch["src"].to_pylist(), batch["dst"].to_pylist())
-            )
-        ref = ray.put(cand_keys)
-
-        def cfilter(t: pa.Table) -> pa.Table:
-            keys = ray.get(ref)
-            s = t.column("src").to_pylist()
-            d = t.column("dst").to_pylist()
-            mask = [((a_, b_) in keys) for a_, b_ in zip(s, d)]
-            return t.filter(pa.array(mask))
-
-        joined = joined.map_batches(cfilter, batch_format="pyarrow")
-
-    # Per-block pre-combine of identical pairs before the (src, dst) shuffle.
-    def precombine(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy()
-        d = t.column("dst").to_numpy()
-        order = np.lexsort((d, s))
-        s, d = s[order], d[order]
-        bound = np.empty(len(s), dtype=bool)
-        if len(s):
-            bound[0] = True
-            bound[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
-        starts = np.flatnonzero(bound)
-        ones = np.ones(len(s), np.int64)
-        return pa.table(
-            {
-                "src": s[starts],
-                "dst": d[starts],
-                "one": np.add.reduceat(ones, starts) if len(s) else ones,
-            }
-        )
-
-    from ..stages.shuffle import grouped_aggregate
-
-    common = grouped_aggregate(
-        joined.map_batches(precombine, batch_format="pyarrow", zero_copy_batch=True),
-        ["src", "dst"],
-        [("one", "sum", "common")],
+    return ds.select_columns([id_col, col]).map_batches(
+        words, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # Word counts per doc are tiny (one row per doc) → broadcast lookup,
-    # not a shuffle join (HybridRDD.smallTableLookup analog).
-    cnt_map = {}
-    for b in counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        cnt_map.update(zip(b[id_col].to_pylist(), b["n_words"].to_pylist()))
-    cnt_ref = ray.put(cnt_map)
 
-    def finalize(t: pa.Table) -> pa.Table:
-        cm = ray.get(cnt_ref)
-        s = t.column("src").to_numpy()
-        d = t.column("dst").to_numpy()
-        c = t.column("common").to_numpy().astype(np.float64)
-        ns = np.fromiter((cm[i] for i in s.tolist()), np.float64, len(s))
-        nd = np.fromiter((cm[i] for i in d.tolist()), np.float64, len(d))
-        j = c / (ns + nd - c)
-        keep = j >= threshold
-        return pa.table(
-            {
-                "src": s[keep],
-                "dst": d[keep],
-                "jaccard": round_away(j[keep], 6),
-            }
-        )
+def _typed_guard(expected: list[tuple[str, pa.DataType]]):
+    """Normalize empty blocks to the expected schema.  Ray's JoinOperator
+    emits schema-less empty blocks for empty hash partitions; feeding one
+    into a later join raises ArrowInvalid — this guard restores the typed
+    empty table."""
 
-    return common.map_batches(finalize, batch_format="pyarrow")
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({n: pa.array([], type=ty) for n, ty in expected})
+        return t
+
+    return fn
 
 
-def minhash_dedup(
-    ds: Dataset,
-    threshold: float = 0.8,
-    num_perm: int = 128,
-    bands: int = 32,
-    shingle_k: int = 3,
-    seed: int = 7,
-    col: str = "text",
-    id_col: str = "doc_id",
-) -> Dataset:
-    """Full near-dup pipeline: MinHash → LSH buckets → candidate pairs →
-    exact-Jaccard verify (word-shingle Jaccard via inverted index on the
-    candidate set) → connected components over the dup graph → (id, rep).
-    rep = min id of the duplicate cluster (rep == id for uniques)."""
-    sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, id_col).materialize()
-    cand = lsh_candidate_pairs(sigs, bands, id_col)
-    verified = verify_pairs_jaccard(ds, cand, threshold, col, id_col)
-
-    from .graph.core import Graph
-    from .graph.components import connected_components
-
-    ids = []
-    for batch in ds.select_columns([id_col]).iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        ids.append(batch[id_col].to_numpy())
-    all_ids = np.unique(np.concatenate(ids))
-    edges = verified.select_columns(["src", "dst"])
-    if edges.count() == 0:
-        return_tab = pa.table({id_col: all_ids, "rep": all_ids})
-        import ray.data as rd
-
-        return rd.from_arrow(return_tab)
-    g = Graph.from_edges(edges, extra_vertices=all_ids)
-    labels = connected_components(g)
-    import ray.data as rd
-
-    return rd.from_arrow(pa.table({id_col: g.vids, "rep": labels}))
+# Below this many posting rows the doc → word-set map is broadcast and
+# pairs verify against it in-task (fast, no join-operator overhead); above
+# it the join plan runs — the same two-path small/large split HybridRDD
+# applies to lookups (HybridRDD.scala:73-100).
+VERIFY_BCAST_POSTINGS = int(os.environ.get("LKR_VERIFY_BCAST_POSTINGS", 5_000_000))
 
 
-def verify_pairs_jaccard(
-    ds: Dataset,
-    pairs: Dataset,
-    threshold: float,
-    col: str = "text",
-    id_col: str = "doc_id",
-) -> Dataset:
-    """Exact word-set Jaccard for an explicit candidate-pair Dataset.
-
-    The doc → token-set map is broadcast once (``ray.put``) and each pairs
-    block verifies vectorized against it — O(|candidates|) instead of the
-    all-pairs inverted index.  Assumes the token-set map fits a worker's
-    heap (at larger scale, swap for a hash join of pairs against the token
-    table keyed by src then dst)."""
+def _exact_jaccard_broadcast(w: Dataset, pairs: Dataset, threshold: float, id_col: str) -> Dataset:
+    """Small-corpus fast path: doc → frozenset(word) broadcast once, each
+    pairs block verified in place."""
     token_map: dict = {}
-    for b in ds.select_columns([id_col, col]).iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
-        for i, s in zip(b[id_col].to_pylist(), b[col].to_pylist()):
-            token_map[i] = frozenset(tokenize(s))
+    for b in w.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for i, wd in zip(b[id_col].to_pylist(), b["word"].to_pylist()):
+            token_map.setdefault(i, set()).add(wd)
     ref = ray.put(token_map)
 
     def body(t: pa.Table) -> pa.Table:
@@ -369,8 +270,10 @@ def verify_pairs_jaccard(
         s = t.column("src").to_pylist()
         d = t.column("dst").to_pylist()
         out_s, out_d, out_j = [], [], []
+        empty: frozenset = frozenset()
         for a_, b_ in zip(s, d):
-            ta, tb = tm[a_], tm[b_]
+            ta = tm.get(a_, empty)
+            tb = tm.get(b_, empty)
             inter = len(ta & tb)
             union = len(ta) + len(tb) - inter
             j = inter / union if union else 0.0
@@ -387,6 +290,332 @@ def verify_pairs_jaccard(
         )
 
     return pairs.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _exact_jaccard_for_pairs(
+    w: Dataset,
+    counts: Dataset,
+    pairs: Dataset,
+    threshold: float,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact word-set Jaccard for an explicit (src, dst) pair Dataset.
+
+    Large corpora (postings above VERIFY_BCAST_POSTINGS) use pure hash
+    joins — nothing corpus-wide broadcast:
+
+        pairs ⋈ postings(src) ⋈ postings(dst, word)  →  common counts
+        common ⋈ counts(src) ⋈ counts(dst)           →  jaccard ≥ threshold
+
+    Small ones take the broadcast fast path (several join operators cost
+    more wall time than they recover at that size)."""
+    from ..context import default_partitions
+    from ..stages.shuffle import grouped_aggregate
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    if w.count() <= VERIFY_BCAST_POSTINGS:
+        return _exact_jaccard_broadcast(w, pairs, threshold, id_col)
+    from ..stages.shuffle import COALESCE_BATCH
+
+    # Every map feeding a join uses an explicit batch_size: map_batches
+    # with the default skips empty blocks and re-emits them SCHEMA-LESS,
+    # and a schema-less empty block on either side of a Dataset.join dies
+    # with ArrowInvalid; an explicit size makes the batcher coalesce empty
+    # blocks away instead.
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    w_src = w.map_batches(lambda t: t.rename_columns(["src", "word"]), **mb)
+    w_dst = w.map_batches(lambda t: t.rename_columns(["dst", "word"]), **mb)
+    psw = [("src", pa.int64()), ("dst", pa.int64()), ("word", pa.string())]
+    p1 = pairs.select_columns(["src", "dst"]).join(
+        w_src, join_type="inner", num_partitions=num_partitions, on=("src",)
+    )
+    p1 = p1.map_batches(_typed_guard(psw), **mb)
+    shared = p1.join(
+        w_dst, join_type="inner", num_partitions=num_partitions, on=("dst", "word")
+    )
+    shared = shared.map_batches(_typed_guard(psw), **mb)
+    common = grouped_aggregate(
+        shared.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            **mb,
+        ),
+        ["src", "dst"],
+        [("one", "sum", "common")],
+        num_partitions,
+    )
+    cs = counts.map_batches(lambda t: t.rename_columns(["src", "ns"]), **mb)
+    cd = counts.map_batches(lambda t: t.rename_columns(["dst", "nd"]), **mb)
+    j = common.join(cs, join_type="inner", num_partitions=num_partitions, on=("src",))
+    j = j.map_batches(
+        _typed_guard(
+            [("src", pa.int64()), ("dst", pa.int64()), ("common", pa.int64()), ("ns", pa.int64())]
+        ),
+        **mb,
+    )
+    j = j.join(cd, join_type="inner", num_partitions=num_partitions, on=("dst",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        c = t.column("common").to_numpy().astype(np.float64)
+        ns = t.column("ns").to_numpy().astype(np.float64)
+        nd = t.column("nd").to_numpy().astype(np.float64)
+        jac = c / (ns + nd - c)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "src": t.column("src").to_numpy()[keep],
+                "dst": t.column("dst").to_numpy()[keep],
+                "jaccard": round_away(jac[keep], 6),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+def jaccard_pairs(
+    ds: Dataset,
+    threshold: float,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    candidates: Dataset | None = None,
+    max_df: int | None = None,
+) -> Dataset:
+    """Exact distinct-word Jaccard for all pairs ≥ threshold.
+
+    Candidate pairs come from the inverted index (word → doc) with a
+    document-frequency cap (``max_df``, default JACCARD_MAX_DF): words on
+    more than that many documents are skipped during *pair generation*
+    (their posting lists are quadratic), then every candidate's Jaccard is
+    recomputed exactly over the full posting lists via hash joins — so
+    emitted values are exact, and only pairs sharing exclusively
+    above-cap words can be missed.  When ``candidates`` is given (LSH
+    output), generation is skipped in favor of a hash semi-join filter."""
+    from ..context import default_partitions
+    from ..stages.shuffle import COALESCE_BATCH, distinct, grouped_aggregate, hash_partition
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    if max_df is None:
+        max_df = JACCARD_MAX_DF
+    w = _doc_words(ds, col, id_col).materialize()
+    counts = grouped_aggregate(w, [id_col], [("word", "count", "n_words")])
+
+    # df cap: the hot-word list is bounded by |postings| / max_df — always
+    # driver-small, the same bounded-by-construction argument as HybridRDD's
+    # hub set (HybridRDD.scala:43-44).
+    dfs = grouped_aggregate(w, ["word"], [(id_col, "count", "df")], num_partitions)
+    hot = dfs.map_batches(
+        lambda t: t.filter(pc.greater(t["df"], max_df)).select(["word"]),
+        batch_format="pyarrow",
+    )
+    hot_words = [
+        x
+        for b in hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        for x in b["word"].to_pylist()
+    ]
+    if hot_words:
+        hot_set = pa.array(hot_words, pa.string())
+        w_gen = w.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["word"], value_set=hot_set))),
+            batch_format="pyarrow",
+        )
+    else:
+        w_gen = w
+
+    # Pair generation: hash shuffle by word, vectorized per-posting-list
+    # triu expansion (posting lists are block-complete after the shuffle).
+    def block_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        word = t.column("word").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy()
+        order = np.lexsort((ids, word))
+        word, ids = word[order], ids[order]
+        bound = np.empty(len(ids), dtype=bool)
+        bound[0] = True
+        bound[1:] = word[1:] != word[:-1]
+        starts = np.flatnonzero(bound)
+        sizes = np.diff(np.append(starts, len(ids)))
+        src_out, dst_out = [], []
+        for size in np.unique(sizes):
+            if size < 2:
+                continue
+            gs = starts[sizes == size]
+            mat = ids[gs[:, None] + np.arange(size)[None, :]]
+            iu, ju = np.triu_indices(int(size), 1)
+            src_out.append(mat[:, iu].ravel())
+            dst_out.append(mat[:, ju].ravel())
+        if not src_out:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"src": np.concatenate(src_out), "dst": np.concatenate(dst_out)}
+        )
+
+    if candidates is not None:
+        pairs = distinct(candidates, ["src", "dst"], num_partitions)
+    else:
+        gen = hash_partition(w_gen, ["word"], num_partitions).map_batches(
+            block_pairs,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COALESCE_BATCH,
+        )
+        pairs = distinct(gen, ["src", "dst"], num_partitions)
+    return _exact_jaccard_for_pairs(
+        w, counts, pairs, threshold, id_col, num_partitions
+    )
+
+
+def minhash_dedup(
+    ds: Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 7,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Full near-dup pipeline: MinHash → LSH buckets → candidate pairs →
+    exact-Jaccard verify (word-shingle Jaccard via inverted index on the
+    candidate set) → connected components over the dup graph → (id, rep).
+    rep = min id of the duplicate cluster (rep == id for uniques)."""
+    import ray.data as rd
+
+    sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, id_col).materialize()
+    cand = lsh_candidate_pairs(sigs, bands, id_col, distinct_pairs=False)
+    verified = verify_pairs_jaccard(ds, cand, threshold, col, id_col)
+
+    from ..context import default_partitions
+    from .graph.core import Graph
+    from .graph.components import connected_components
+
+    edges = verified.select_columns(["src", "dst"]).materialize()
+    all_docs = ds.select_columns([id_col])
+    if edges.count() == 0:
+        return all_docs.map_batches(
+            lambda t: pa.table({id_col: t[id_col], "rep": t[id_col]}),
+            batch_format="pyarrow",
+        )
+    # CC only over docs that appear in a duplicate pair (a small subgraph);
+    # everything else keeps rep = own id — no corpus-wide id collect.
+    from ..context import LOCAL_EDGE_THRESHOLD
+    from .graph.components import _cc_local
+
+    if edges.count() <= LOCAL_EDGE_THRESHOLD:
+        # dup graph is driver-small by construction: local CC + broadcast
+        # searchsorted lookup over the corpus (zero shuffles)
+        parts = [
+            (b["src"].to_numpy(), b["dst"].to_numpy())
+            for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        s_arr = np.concatenate([p[0] for p in parts])
+        d_arr = np.concatenate([p[1] for p in parts])
+        vids = np.unique(np.concatenate([s_arr, d_arr]))
+        lab = _cc_local(
+            np.searchsorted(vids, s_arr), np.searchsorted(vids, d_arr), len(vids)
+        )
+        rep_ids = vids[lab]
+        ref = ray.put((vids, rep_ids))
+
+        def assign(t: pa.Table) -> pa.Table:
+            vv, rr = ray.get(ref)
+            ids = t.column(id_col).to_numpy()
+            pos = np.clip(np.searchsorted(vv, ids), 0, len(vv) - 1)
+            hit = vv[pos] == ids
+            rep = np.where(hit, rr[pos], ids)
+            return pa.table({id_col: ids, "rep": rep})
+
+        return all_docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    g = Graph.from_edges(edges)
+    labels = connected_components(g)
+    if g.is_dense:
+        comp = rd.from_arrow(pa.table({id_col: g.vids, "rep": labels}))
+    else:
+        from ..stages.shuffle import COALESCE_BATCH
+
+        comp = labels.map_batches(
+            lambda t: t.rename_columns([id_col, "rep"]),
+            batch_format="pyarrow",
+            batch_size=COALESCE_BATCH,
+        )
+    joined = all_docs.join(
+        comp, join_type="left_outer", num_partitions=default_partitions(), on=(id_col,)
+    )
+
+    def coalesce_rep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
+            )
+        return pa.table({id_col: t[id_col], "rep": pc.coalesce(t["rep"], t[id_col])})
+
+    return joined.map_batches(coalesce_rep, batch_format="pyarrow")
+
+
+def verify_pairs_jaccard(
+    ds: Dataset,
+    pairs: Dataset,
+    threshold: float,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact word-set Jaccard for an explicit candidate-pair Dataset.
+
+    The corpus is first restricted to documents named by a candidate pair
+    (hash semi-join — bounded by 2·|pairs|), then common-word counts come
+    from the same join plan as jaccard_pairs.  Nothing corpus-sized is
+    broadcast or collected."""
+    from ..stages.join import SEMI_BROADCAST_LIMIT, semi_join
+    from ..stages.shuffle import grouped_aggregate
+
+    pairs = pairs.materialize()
+    if 2 * pairs.count() <= SEMI_BROADCAST_LIMIT:
+        # endpoint set is provably small: collect it directly and filter by
+        # a broadcast array — zero extra shuffles
+        eps = [
+            np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])
+            for b in pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        keys = np.unique(np.concatenate(eps)) if eps else np.empty(0, np.int64)
+        sub = semi_join(ds.select_columns([id_col, col]), keys, on=id_col)
+    else:
+        endpoints = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: np.concatenate(
+                        [t.column("src").to_numpy(), t.column("dst").to_numpy()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sub = semi_join(ds.select_columns([id_col, col]), endpoints, on=id_col)
+    w = _doc_words(sub, col, id_col).materialize()
+    counts = grouped_aggregate(w, [id_col], [("word", "count", "n_words")])
+    return _exact_jaccard_for_pairs(w, counts, pairs, threshold, id_col, num_partitions)
 
 
 # ----------------------------------------------------------------- simhash
@@ -424,20 +653,102 @@ def simhash(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Dataset:
 # ------------------------------------------------------ embedding near-dup
 
 
+# Above this row count the broadcast matrix stops being "small" and the
+# exact path switches to distributed block × block tasks.
+EMB_BCAST_ROWS = int(os.environ.get("LKR_EMB_BCAST_ROWS", 200_000))
+
+
+def _normalized_blocks(ds: Dataset, vec_col: str, id_col: str):
+    """Materialize (id, row-normalized matrix) Arrow blocks and return their
+    object refs — normalization runs once, distributed."""
+    from ..context import num_blocks_for
+
+    def normalize(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        M = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(M):
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        dim = M.shape[1] if M.ndim == 2 and M.shape[0] else 0
+        return pa.table(
+            {
+                id_col: ids,
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(M.ravel(), pa.float64()), dim
+                )
+                if dim
+                else pa.array([], pa.list_(pa.float64())),
+            }
+        )
+
+    n = ds.count()
+    mat = (
+        ds.select_columns([id_col, vec_col])
+        .repartition(num_blocks_for(n))
+        .map_batches(normalize, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    return mat.to_arrow_refs()
+
+
+@ray.remote
+def _block_pair_sim(ta: pa.Table, tb: pa.Table, same: bool, threshold: float, id_col: str):
+    """Thresholded cosine pairs between two normalized blocks (upper
+    triangle only when the blocks are the same)."""
+    aid = ta.column(id_col).to_numpy()
+    bid = tb.column(id_col).to_numpy()
+    A = np.array(ta.column("nvec").to_pylist(), dtype=np.float64)
+    B = np.array(tb.column("nvec").to_pylist(), dtype=np.float64)
+    if len(A) == 0 or len(B) == 0:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    S = A @ B.T
+    ai, bi = np.nonzero(S >= threshold)
+    s_ids, d_ids = aid[ai], bid[bi]
+    if same:
+        keep = s_ids < d_ids
+    else:
+        keep = s_ids != d_ids
+    s_ids, d_ids, vals = s_ids[keep], d_ids[keep], S[ai, bi][keep]
+    lo = np.minimum(s_ids, d_ids)
+    hi = np.maximum(s_ids, d_ids)
+    return pa.table({"src": lo, "dst": hi, "cos": round_away(vals, 6)})
+
+
 def embedding_neardup_pairs(
     ds: Dataset,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> Dataset:
-    """All (src < dst) pairs with cosine ≥ threshold. Blocks stream against
-    a broadcast normalized matrix (ray.put once); each block emits only its
-    above-threshold pairs (block × V matmul, map-side filtered)."""
+    """All (src < dst) pairs with cosine ≥ threshold — exact.
+
+    ≤ EMB_BCAST_ROWS: blocks stream against one broadcast normalized matrix
+    (block × N matmul, map-side filtered).  Above: the matrix is never
+    collected — normalized blocks stay in the object store and every block
+    pair (i ≤ j) is an independent Ray task (the N² work inherent to the
+    exact semantics, distributed and memory-bounded; the sub-quadratic
+    approximate path is functions/similarity.ann_lsh / LSH bucketing)."""
+    import ray.data as rd
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    if ds.count() > EMB_BCAST_ROWS:
+        refs = _normalized_blocks(ds, vec_col, id_col)
+        tasks = []
+        for i in range(len(refs)):
+            for j in range(i, len(refs)):
+                tasks.append(
+                    _block_pair_sim.remote(refs[i], refs[j], i == j, threshold, id_col)
+                )
+        return rd.from_arrow_refs(tasks)
+
     mats = []
     ids = []
-    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
+    for batch in ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
         ids.append(batch[id_col].to_numpy())
         mats.append(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
     all_ids = np.concatenate(ids)

@@ -82,7 +82,7 @@ def label_propagation_dataset(
 
     from ...context import default_partitions
     from ...stages.edges import vertices_from_edges
-    from ...stages.shuffle import grouped_aggregate, hash_partition
+    from ...stages.shuffle import COALESCE_BATCH, grouped_aggregate, hash_partition
 
     if num_partitions is None:
         num_partitions = default_partitions()
@@ -151,7 +151,10 @@ def label_propagation_dataset(
             msgs, ["id", "label"], [("one", "sum", "w")], num_partitions
         )
         winners = hash_partition(sums, ["id"], num_partitions).map_batches(
-            pick, batch_format="pyarrow", zero_copy_batch=True
+            pick,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COALESCE_BATCH,
         )
         nxt = labels.join(
             winners.map_batches(

@@ -19,6 +19,36 @@ import ray
 from ray.data import Dataset
 
 
+@ray.remote
+def _km_block_init(t: pa.Table, seed: int, k: int, vec_col: str, id_col: str):
+    """Per-block candidate initial centroids: the k locally smallest
+    blake2b(seed, id) hashes with their vectors."""
+    from ..ids import hash64_array
+
+    ids = t.column(id_col).to_pylist()
+    V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    hs = hash64_array([f"{seed}:{i}" for i in ids])
+    sel = np.argsort(hs, kind="stable")[:k]
+    return hs[sel], V[sel]
+
+
+@ray.remote
+def _km_block_partial(t: pa.Table, centroids: np.ndarray, vec_col: str):
+    """Per-block Lloyd partials: per-centroid vector sums + member counts
+    (the map-side combine; the driver only merges k×dim partials)."""
+    V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    k = len(centroids)
+    if len(V) == 0:
+        return np.zeros((k, centroids.shape[1])), np.zeros(k, np.int64)
+    # ||v−c||² = ||v||² − 2 v·c + ||c||²; ||v||² constant per row → argmin
+    # over (−2 v·c + ||c||²), no (n, k, dim) tensor
+    d2 = -2.0 * (V @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+    assign = np.argmin(d2, axis=1)
+    sums = np.zeros((k, V.shape[1]))
+    np.add.at(sums, assign, V)
+    return sums, np.bincount(assign, minlength=k)
+
+
 def train_kmeans(
     ds: Dataset,
     k: int = 8,
@@ -27,28 +57,29 @@ def train_kmeans(
     id_col: str = "vec_id",
     seed: int = 13,
 ) -> np.ndarray:
-    """Driver-coordinated Lloyd's iterations: per-block partial sums per
-    centroid (map-side combine) → driver update. Deterministic: initial
-    centroids are the k vectors with smallest blake2b(seed, id)."""
-    from ..ids import hash64_array
+    """Driver-coordinated Lloyd's iterations over object-store-resident
+    blocks: each iteration fans out per-block (Σ vectors, counts) partials
+    per centroid and the driver merges k×dim arrays — the full vector
+    matrix is never collected.  Deterministic: initial centroids are the k
+    vectors with globally smallest blake2b(seed, id)."""
+    blocks = ds.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
 
-    ids, vecs = [], []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
-        ids.extend(b[id_col].to_pylist())
-        vecs.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
-    V = np.concatenate(vecs)
-    hs = hash64_array([f"{seed}:{i}" for i in ids])
-    centroids = V[np.argsort(hs)[:k]].copy()
+    parts = ray.get(
+        [_km_block_init.remote(b, seed, k, vec_col, id_col) for b in blocks]
+    )
+    hs = np.concatenate([p[0] for p in parts])
+    cand = np.concatenate([p[1] for p in parts])
+    centroids = cand[np.argsort(hs, kind="stable")[:k]].copy()
 
     for _ in range(iterations):
-        d2 = ((V[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d2, axis=1)
-        for c in range(k):
-            members = V[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        cref = ray.put(centroids)
+        partials = ray.get(
+            [_km_block_partial.remote(b, cref, vec_col) for b in blocks]
+        )
+        sums = np.sum([p[0] for p in partials], axis=0)
+        counts = np.sum([p[1] for p in partials], axis=0)
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
     return centroids
 
 

@@ -167,8 +167,13 @@ def ann_lsh(
     full matmul). Returns (query_id, neighbor_id, cos, rank)."""
     import pyarrow.compute as pc
 
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
+    # vector dim from schema metadata when the column is fixed-size;
+    # otherwise one row is sampled (list<float> parquet carries no width)
+    field = ds.schema().base_schema.field(vec_col)
+    if pa.types.is_fixed_size_list(field.type):
+        dim = field.type.list_size
+    else:
+        dim = len(ds.take(1)[0][vec_col])
     signer_kwargs = dict(
         dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col
     )
@@ -187,17 +192,16 @@ def ann_lsh(
         qsig.setdefault(int(b), []).append(int(q))
     bucket_set = pa.array(sorted(qsig), pa.int64())
 
+    # probed ids stay a Dataset: hash semi-join against the vectors (the
+    # broadcast/shuffle cutoff inside semi_join keeps both regimes safe) —
+    # never a driver-resident Python list.
+    from ..stages.join import semi_join
+
     probed = sigs.map_batches(
-        lambda t: t.filter(pc.is_in(t["bucket"], value_set=bucket_set)),
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=bucket_set)).select(
+            [id_col]
+        ),
         batch_format="pyarrow",
     )
-    probe_ids = [
-        i
-        for b in probed.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        for i in b[id_col].to_pylist()
-    ]
-    sub = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(probe_ids))),
-        batch_format="pyarrow",
-    )
+    sub = semi_join(ds, probed, on=id_col)
     return ann_bruteforce(sub, list(qid), k, vec_col, id_col)

@@ -25,6 +25,7 @@ from ..stages.edges import (
     remove_non_symmetric,
     reverse_edges,
 )
+from ..context import default_partitions
 from ..util import round_away
 
 _PREC_CACHE: dict = {}
@@ -67,7 +68,7 @@ def precedence_pairs(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j = a.join(b, join_type="inner", num_partitions=8, on=("k", "pos"))
+    j = a.join(b, join_type="inner", num_partitions=default_partitions(), on=("k", "pos"))
     return j.map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"])).select(["src", "dst"]),
         batch_format="pyarrow",
@@ -322,7 +323,7 @@ def q_two_hop(sf_dir: str):
         lambda t: pa.table({"k": t["l_orderkey"], "dst": t["l_partkey"]}),
         batch_format="pyarrow",
     )
-    j = a.join(b, join_type="inner", num_partitions=8, on=("k",))
+    j = a.join(b, join_type="inner", num_partitions=default_partitions(), on=("k",))
     return distinct(j.select_columns(["src", "dst"]), ["src", "dst"])
 
 
@@ -397,7 +398,7 @@ def q_edge_graph(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j = a.join(b, join_type="inner", num_partitions=8, on=("mid",))
+    j = a.join(b, join_type="inner", num_partitions=default_partitions(), on=("mid",))
     return distinct(
         j.map_batches(
             lambda t: pa.table({"src": t["e_from"], "dst": t["e_to"]}),

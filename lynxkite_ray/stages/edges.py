@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
-from ..context import num_blocks_for
+from ..context import default_partitions, num_blocks_for
 from .shuffle import distinct, grouped_aggregate
 
 
@@ -148,7 +148,7 @@ def vertices_from_edges(edges: Dataset) -> Dataset:
 
 
 def out_degree(
-    edges: Dataset, vertices: Dataset | None = None, num_partitions: int = 16
+    edges: Dataset, vertices: Dataset | None = None, num_partitions: int | None = None
 ) -> Dataset:
     """OutDegree.scala:25-39 — per-src edge count; vertices with no
     out-edges get degree 0 when a vertex set is supplied (left join)."""
@@ -162,6 +162,10 @@ def out_degree(
             lambda t: t.rename_columns(["id", "degree"]), batch_format="pyarrow"
         )
     deg = deg.map_batches(lambda t: t.rename_columns(["id", "degree"]), batch_format="pyarrow")
+    if num_partitions is None:
+        from ..context import default_partitions
+
+        num_partitions = default_partitions()
     joined = vertices.join(
         deg, join_type="left_outer", num_partitions=num_partitions, on=("id",)
     )
@@ -190,7 +194,7 @@ def remove_non_symmetric(edges: Dataset, num_partitions: int | None = None) -> D
     j = e.join(
         rev,
         join_type="inner",
-        num_partitions=num_partitions or 8,
+        num_partitions=num_partitions or default_partitions(),
         on=("src", "dst"),
     )
     return j.select_columns(["src", "dst"])

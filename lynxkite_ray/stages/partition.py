@@ -76,14 +76,36 @@ def broadcast_lookup(
     big: Dataset, small_map: dict, key: str, out: str, default=None
 ) -> Dataset:
     """smallTableLookup analog (HybridRDD.scala:95-100): map ``key`` through
-    a broadcast dict inside every block."""
-    ref = ray.put(small_map)
+    a broadcast sorted key/value array pair inside every block.  The dict is
+    converted to sorted arrays ONCE on the driver; per batch the lookup is
+    one ``np.searchsorted`` (int keys) or one ``pc.index_in`` + ``take``
+    (strings) — no per-row Python loop in the hot path."""
+    keys_arr = np.asarray(list(small_map.keys()))
+    vals_arr = np.asarray(list(small_map.values()))
+    order = np.argsort(keys_arr, kind="stable")
+    keys_arr, vals_arr = keys_arr[order], vals_arr[order]
+    numeric = np.issubdtype(keys_arr.dtype, np.number)
+    ref = ray.put((keys_arr, vals_arr))
 
     def body(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ks = t.column(key).to_pylist()
-        vals = [m.get(k, default) for k in ks]
-        return t.append_column(out, pa.array(vals))
+        ks_sorted, vs_sorted = ray.get(ref)
+        if numeric:
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks_sorted, k), 0, max(len(ks_sorted) - 1, 0))
+            hit = ks_sorted[pos] == k if len(ks_sorted) else np.zeros(len(k), bool)
+            vals = vs_sorted[pos] if len(ks_sorted) else np.zeros(len(k), vs_sorted.dtype)
+            if default is not None and not hit.all():
+                vals = np.where(hit, vals, default)
+                out_arr = pa.array(vals)
+            else:
+                out_arr = pa.array(vals, mask=~hit)
+            return t.append_column(out, out_arr)
+        # string keys: Arrow C++ hash lookup
+        idx = pc.index_in(t.column(key), value_set=pa.array(ks_sorted))
+        taken = pc.take(pa.array(vs_sorted), idx)  # misses → null
+        if default is not None:
+            taken = pc.fill_null(taken, default)
+        return t.append_column(out, taken)
 
     return big.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
 

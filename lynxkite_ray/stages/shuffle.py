@@ -21,6 +21,16 @@ from ray.data import Dataset
 
 from ..context import num_blocks_for
 
+# Explicit batch_size for post-shuffle map_batches stages.  Two birds:
+# (a) map_batches with the default batch_size=None SKIPS empty blocks and
+# emits them schema-less, which poisons any later Dataset.join
+# ("ArrowInvalid: no match for FieldRef on left side"); an explicit size
+# makes the batcher coalesce away empty blocks.  (b) a value this large
+# never SPLITS a block (only merges whole ones), so the "every key wholly
+# inside one batch" invariant that post-shuffle grouped aggregation relies
+# on is preserved.
+COALESCE_BATCH = 1 << 40
+
 # pyarrow group_by aggregate output suffix per function name
 _SUFFIX = {
     "sum": "sum",
@@ -73,7 +83,12 @@ def grouped_aggregate(
         g = g.rename_columns([rename.get(n, n) for n in names])
         return g
 
-    return part.map_batches(agg_block, batch_format="pyarrow", zero_copy_batch=True)
+    return part.map_batches(
+        agg_block,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
+    )
 
 
 def distinct(ds: Dataset, keys: list[str], num_partitions: int | None = None) -> Dataset:
@@ -96,5 +111,8 @@ def distinct(ds: Dataset, keys: list[str], num_partitions: int | None = None) ->
         local_dedup, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition(pre, keys, num_partitions).map_batches(
-        local_dedup, batch_format="pyarrow", zero_copy_batch=True
+        local_dedup,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
     )
