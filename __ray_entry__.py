@@ -355,6 +355,165 @@ def _q_triangles(sf_dir: str):
     return pa.table({"triangles": pa.array([n], type=pa.int64())})
 
 
+def _q_approx_embeddedness(sf_dir: str):
+    """ApproxEmbeddedness.scala:38 analog — rows-only (error-bound vs the
+    exact operator asserted in pytest)."""
+    from lynxkite_ray.functions.graph.approx import approx_embeddedness
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges
+
+    return approx_embeddedness(copurchase_edges(sf_dir))
+
+
+def _q_approx_clustering(sf_dir: str):
+    """ApproxClusteringCoefficient.scala:20 analog — rows-only."""
+    from lynxkite_ray.functions.graph.approx import approx_clustering_coefficient
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges
+
+    return approx_clustering_coefficient(copurchase_edges(sf_dir))
+
+
+def _q_louvain(sf_dir: str):
+    """NetworKit PLM analog (deterministic Louvain) over the co-purchase
+    graph — rows-only (modularity-improvement vs LPA asserted in pytest)."""
+    from lynxkite_ray.functions.graph.louvain import louvain
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges
+
+    return louvain(copurchase_edges(sf_dir))
+
+
+def _q_dispersion(sf_dir: str):
+    """Dispersion.scala:49 analog over the precedence graph — rows-only
+    (exact brute-force differential in pytest)."""
+    from lynxkite_ray.functions.graph.dispersion import dispersion
+    from lynxkite_ray.pipelines.structure import precedence_edges
+
+    return dispersion(precedence_edges(sf_dir))
+
+
+def _q_max_cliques(sf_dir: str):
+    """FindMaxCliques.scala:16 analog over the precedence graph —
+    rows-only (planted-clique pytest)."""
+    from lynxkite_ray.functions.graph.cliques import find_max_cliques
+    from lynxkite_ray.pipelines.structure import precedence_edges
+
+    return find_max_cliques(precedence_edges(sf_dir), min_clique_size=3)
+
+
+def _q_sampled_histogram(sf_dir: str):
+    """RDDUtils.scala:140-217 sampled histogram with extrapolation —
+    rows-only (tolerance vs the exact histogram in pytest)."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import sampled_histogram
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+    return sampled_histogram(cust, "c_acctbal", -1000.0, 10000.0, buckets=11)
+
+
+def _q_elementwise_mean(sf_dir: str):
+    """Elementwise vector aggregate (ElementwiseAverage analog) — exact
+    SQL oracle via unnest + generate_subscripts."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import elementwise_mean
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return elementwise_mean(
+        emb, lambda t: t.column("vec_id").to_numpy() % 10, "embedding"
+    )
+
+
+ELEMENTWISE_SQL = """
+WITH x AS (SELECT vec_id % 10 AS grp, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT grp, unnest(emb) AS val, generate_subscripts(emb, 1) - 1 AS idx FROM x)
+SELECT grp, idx, ROUND(SUM(val) / COUNT(*), 6) AS mean_val
+FROM u GROUP BY 1, 2
+"""
+
+
+def _q_linear_regression(sf_dir: str):
+    """Regression.scala:26 analog — closed-form least squares of
+    l_extendedprice on l_quantity via distributed normal-equation partials;
+    oracle = DuckDB regr_intercept/regr_slope."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import train_linear_regression
+    from lynxkite_ray.util import round_away
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    beta = train_linear_regression(li, ["l_quantity"], "l_extendedprice")
+    return pa.table(
+        {
+            "intercept": round_away(np.array([beta[0]]), 6),
+            "slope": round_away(np.array([beta[1]]), 6),
+        }
+    )
+
+
+LINREG_SQL = """
+SELECT ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope
+FROM lineitem
+"""
+
+
+def _q_logistic_scores(sf_dir: str):
+    """LogisticRegressionModelTrainer.scala:73 analog — train on a derived
+    binary label (acctbal > 0) from numeric features, score with the
+    actor-pool stage.  Rows-only (iterative GD is not SQL-expressible)."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import (
+        predict_with_model,
+        train_logistic_regression,
+    )
+    from lynxkite_ray.util import round_away
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "x_nation": t.column("c_nationkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+                "lab": (bal > 0).astype(np.float64),
+            }
+        )
+
+    feats = cust.map_batches(prep, batch_format="pyarrow")
+    beta = train_logistic_regression(feats, ["x_nation"], "lab", iterations=30)
+    out = predict_with_model(feats, beta, ["x_nation"], "c_custkey", logistic=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "prediction": round_away(
+                    t.column("prediction").to_numpy(zero_copy_only=False), 6
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_scale_free(sf_dir: str):
+    """ScaleFreeEdgeBundle.scala:37 analog (Chung-Lu parallel generator):
+    degree table of a deterministic synthetic power-law graph — rows-only
+    (degree-profile pytest)."""
+    from lynxkite_ray.sources.generators import scale_free_edges
+    from lynxkite_ray.stages.edges import out_degree
+
+    e = scale_free_edges(n_vertices=5000, n_edges=40000, seed=3)
+    return out_degree(e)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -377,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lynxkite_ray.pipelines import relational as R
     from lynxkite_ray.pipelines import textops as TX
     from lynxkite_ray.pipelines import flagship as FS
+    from lynxkite_ray.pipelines import segmentation as SG
     from lynxkite_ray.pipelines import structure as ST
 
     return {
@@ -396,6 +556,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snowball_sample": _q_snowball,
         "approx_distinct_parts": _q_approx_distinct,
         "hyperball_harmonic": _q_hyperball,
+        "louvain": _q_louvain,
+        "approx_embeddedness": _q_approx_embeddedness,
+        "approx_clustering_coefficient": _q_approx_clustering,
+        "dispersion": _q_dispersion,
+        "max_cliques": _q_max_cliques,
+        "sampled_histogram": _q_sampled_histogram,
+        "elementwise_mean": _q_elementwise_mean,
+        "scale_free_degrees": _q_scale_free,
+        "linear_regression": _q_linear_regression,
+        "logistic_scores": _q_logistic_scores,
         # relational operator battery
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project_revenue": R.filter_project_revenue,
@@ -434,6 +604,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": TX.q_ann_lsh,
         "media_features": TX.q_media_features,
         "fingerprint_matching": TX.q_fingerprint_matching,
+        # segmentation battery (EdgesFromSegmentation / CombineSegmentations /
+        # MergeVertices full output / SegmentByEventSequence)
+        "edges_from_segmentation": SG.q_edges_from_segmentation,
+        "combine_segmentations": SG.q_combine_segmentations,
+        "merge_vertices_full": SG.q_merge_vertices_full,
+        "segment_by_event_sequence": SG.q_segment_by_event_sequence,
+        "set_overlap": SG.q_set_overlap,
+        "check_cliques": SG.q_check_cliques,
         # structure transforms (directed precedence graph + subgraphs)
         "precedence_edges": ST.q_precedence_edges,
         "precedence_multiplicity": ST.q_precedence_multiplicity,
@@ -466,9 +644,18 @@ def oracle_sql() -> dict[str, str]:
     from lynxkite_ray.pipelines import relational as R
     from lynxkite_ray.pipelines import textops as TX
 
+    from lynxkite_ray.pipelines import segmentation as SG
     from lynxkite_ray.pipelines import structure as ST
 
     rel = {
+        "elementwise_mean": ELEMENTWISE_SQL,
+        "linear_regression": LINREG_SQL,
+        "edges_from_segmentation": SG.EDGES_FROM_SEG_SQL,
+        "combine_segmentations": SG.COMBINE_SEG_SQL,
+        "merge_vertices_full": SG.MERGE_FULL_SQL,
+        "segment_by_event_sequence": SG.SEGMENT_EVENTS_SQL,
+        "set_overlap": SG.SET_OVERLAP_SQL,
+        "check_cliques": SG.CHECK_CLIQUE_SQL,
         "precedence_edges": ST.PRECEDENCE_SQL,
         "precedence_multiplicity": ST.PREC_MULT_SQL,
         "precedence_reversed": ST.PREC_REV_SQL,

@@ -221,3 +221,117 @@ def global_stats(ds: Dataset, col: str) -> dict:
         Std(col, alias_name="std"),
     )
     return dict(row)
+
+
+def elementwise_mean(
+    ds: Dataset, key_expr, vec_col: str, key_name: str = "grp", out: str = "mean_val"
+) -> Dataset:
+    """Elementwise vector mean per group (ElementwiseAverage,
+    Aggregate.scala:316-560 family) in long form: (key, idx, mean).
+
+    Per-batch map-side combine: one (groups × dim) partial-sum matrix per
+    batch (vectorized np.add.at), so the shuffle carries groups·dim rows
+    per block, never row-wise exploded vectors.  ``key_expr`` maps a
+    pyarrow Table to an int64 key array."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.shuffle import grouped_aggregate
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = key_expr(t)
+        col = t.column(vec_col).combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            V = col.flatten().to_numpy(zero_copy_only=False).reshape(t.num_rows, col.type.list_size)
+        else:
+            V = np.array(col.to_pylist(), dtype=np.float64)
+        dim = V.shape[1]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, inv, V.astype(np.float64))
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        g = np.repeat(uniq, dim)
+        idx = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                key_name: g,
+                "idx": idx,
+                "psum": sums.ravel(),
+                "pcnt": np.repeat(cnts, dim),
+            }
+        )
+
+    p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        p, [key_name, "idx"], [("psum", "sum", "s"), ("pcnt", "sum", "c")]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..util import round_away
+
+        s = t.column("s").to_numpy()
+        c = t.column("c").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                key_name: t[key_name],
+                "idx": t["idx"],
+                out: round_away(s / np.maximum(c, 1.0), 6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sampled_histogram(
+    ds: Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 10,
+    fraction: float = 0.2,
+    seed: int = 5,
+) -> Dataset:
+    """Histogram estimated from a seeded row sample, counts extrapolated by
+    1/fraction (RDDUtils.scala:140-217 sampled estimation with
+    extrapolation — at 100 TB a viz-grade histogram must sample).
+    (bucket, est_count); approximate by construction → rows-only."""
+    import numpy as np
+    import pyarrow as pa
+
+    width = (hi - lo) / buckets
+    sample = ds.select_columns([col]).random_sample(fraction, seed=seed)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, buckets - 1)
+        cnt = np.bincount(b, minlength=buckets)
+        return pa.table(
+            {
+                "bucket": np.arange(buckets, dtype=np.int64),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    from ..stages.shuffle import grouped_aggregate
+
+    agg = grouped_aggregate(
+        sample.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"],
+        [("n", "sum", "sampled")],
+    )
+    scale = 1.0 / fraction
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": t["bucket"],
+                "est_count": pa.array(
+                    np.round(
+                        t.column("sampled").to_numpy().astype(np.float64) * scale
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

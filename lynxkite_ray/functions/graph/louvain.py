@@ -1,0 +1,234 @@
+"""Deterministic Louvain community detection — the PLM ("find communities")
+analog.
+
+The reference delegates PLM/Louvain to single-node NetworKit C++ via the
+Sphynx server (networkit_community_detection.go:27-31; frontend
+BuildSegmentationOperations.scala:747-778), i.e. its own architecture runs
+this operator on one machine over a compact in-memory graph.  We mirror
+that: the canonical edge list is gathered under LOCAL_EDGE_THRESHOLD
+(ConnectedComponents.scala:19 philosophy) and a pinned-order modularity-
+greedy runs driver-side over numpy CSR.  NetworKit's result is
+thread-order-dependent; exact-match verification forces the deterministic
+variant: vertices scan in ascending id order, ties break to the smallest
+community id, so repeated runs are bit-identical.
+
+Output labels are normalized to the minimum original vertex id per
+community (the same normal form as connected components).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ...context import LOCAL_EDGE_THRESHOLD
+from ...stages.edges import canonical_edges
+from .triangles import _gather_canonical
+
+
+def _csr(srcs: np.ndarray, dsts: np.ndarray, ws: np.ndarray, V: int):
+    order = np.argsort(srcs, kind="stable")
+    s, d, w = srcs[order], dsts[order], ws[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s, minlength=V), out=indptr[1:])
+    return indptr, d, w
+
+
+def _local_moving(
+    si: np.ndarray, di: np.ndarray, w: np.ndarray, V: int, resolution: float, max_passes: int
+):
+    """One Louvain level: sequential ascending-id local moving until no
+    vertex moves (or max_passes).  Returns (community array, moved_any)."""
+    # symmetrized adjacency; self-loops kept once on each side but skipped
+    # during neighbor-community scoring (they contribute to k via loops)
+    srcs = np.concatenate([si, di])
+    dsts = np.concatenate([di, si])
+    ws = np.concatenate([w, w])
+    indptr, nbr, nw = _csr(srcs, dsts, ws, V)
+    loop_w = np.zeros(V)
+    loops = si == di
+    if loops.any():
+        np.add.at(loop_w, si[loops], w[loops])
+    # weighted degree: both directions + self-loop counted twice (standard)
+    k = np.zeros(V)
+    np.add.at(k, srcs, ws)
+    m2 = float(k.sum())  # = 2m
+    if m2 == 0:
+        return np.arange(V, dtype=np.int64), False
+    comm = np.arange(V, dtype=np.int64)
+    comm_tot = k.copy()
+    moved_any = False
+    for _ in range(max_passes):
+        moves = 0
+        for v in range(V):
+            lo, hi = indptr[v], indptr[v + 1]
+            if lo == hi:
+                continue
+            nb = nbr[lo:hi]
+            wn = nw[lo:hi]
+            keep = nb != v
+            nb, wn = nb[keep], wn[keep]
+            if len(nb) == 0:
+                continue
+            cv = int(comm[v])
+            nc = comm[nb]
+            cand, inv = np.unique(nc, return_inverse=True)
+            w2c = np.bincount(inv, weights=wn)
+            comm_tot[cv] -= k[v]
+            # gain of joining community c (relative): w2c − γ·Σtot_c·k_v/2m
+            gains = w2c - resolution * comm_tot[cand] * k[v] / m2
+            stay = 0.0 - resolution * comm_tot[cv] * k[v] / m2
+            pos = np.flatnonzero(cand == cv)
+            if len(pos):
+                stay = gains[pos[0]]
+            # best by (gain desc, community id asc); must beat staying
+            best_i = np.lexsort((cand, -gains))[0]
+            best_c, best_g = int(cand[best_i]), gains[best_i]
+            if best_g > stay + 1e-12 and best_c != cv:
+                comm[v] = best_c
+                comm_tot[best_c] += k[v]
+                moves += 1
+            else:
+                comm_tot[cv] += k[v]
+        if moves == 0:
+            break
+        moved_any = True
+    return comm, moved_any
+
+
+def _louvain_index(si, di, w, V, resolution: float = 1.0, max_levels: int = 10,
+                   max_passes: int = 10) -> np.ndarray:
+    """Full multi-level Louvain in dense index space. Returns community
+    index per vertex (arbitrary ids; caller normalizes)."""
+    node2final = np.arange(V, dtype=np.int64)
+    cs, cd, cw, cV = si, di, w.astype(np.float64), V
+    for _ in range(max_levels):
+        comm, moved = _local_moving(cs, cd, cw, cV, resolution, max_passes)
+        if not moved:
+            break
+        # renumber communities densely
+        uniq, dense = np.unique(comm, return_inverse=True)
+        node2final = dense[node2final]
+        # contract: aggregate parallel edges (and keep self-loops)
+        ns, nd = dense[cs], dense[cd]
+        lo = np.minimum(ns, nd)
+        hi = np.maximum(ns, nd)
+        key = lo.astype(np.int64) * len(uniq) + hi
+        order = np.argsort(key, kind="stable")
+        key_s, w_s = key[order], cw[order]
+        bound = np.empty(len(key_s), dtype=bool)
+        bound[0] = True
+        bound[1:] = key_s[1:] != key_s[:-1]
+        starts = np.flatnonzero(bound)
+        agg_key = key_s[starts]
+        agg_w = np.add.reduceat(w_s, starts)
+        cV = len(uniq)
+        cs = agg_key // cV
+        cd = agg_key % cV
+        cw = agg_w
+        if cV <= 1:
+            break
+    return node2final
+
+
+def louvain(edges: Dataset, weight_col: str | None = None,
+            resolution: float = 1.0, max_levels: int = 10,
+            max_passes: int = 10) -> Dataset:
+    """(id, community) — community = min original vertex id per community.
+
+    Gathers the canonical simple graph under LOCAL_EDGE_THRESHOLD (the
+    reference's own PLM path is single-node, see module docstring); larger
+    graphs should pre-coarsen (e.g. CC per component / LPA) first."""
+    import ray.data as rd
+
+    if weight_col is None:
+        canon = canonical_edges(edges).materialize()
+        if canon.count() > LOCAL_EDGE_THRESHOLD:
+            raise NotImplementedError(
+                "louvain gathers the graph (single-node, reference-parity "
+                "with NetworKit PLM); above LOCAL_EDGE_THRESHOLD coarsen "
+                "first (connected_components / label_propagation_dataset)"
+            )
+        s, d = _gather_canonical(canon)
+        w = np.ones(len(s))
+    else:
+        # aggregate parallel-edge weights onto canonical (min,max) pairs
+        import pyarrow.compute as pc
+
+        from ...stages.shuffle import grouped_aggregate
+
+        def canon_w(t: pa.Table) -> pa.Table:
+            s_ = t.column("src").to_numpy()
+            d_ = t.column("dst").to_numpy()
+            w_ = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            keep = s_ != d_
+            s_, d_, w_ = s_[keep], d_[keep], w_[keep]
+            return pa.table(
+                {"src": np.minimum(s_, d_), "dst": np.maximum(s_, d_), "w": w_}
+            )
+
+        agg = grouped_aggregate(
+            edges.select_columns(["src", "dst", weight_col]).map_batches(
+                canon_w, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["src", "dst"],
+            [("w", "sum", "w")],
+        ).materialize()
+        if agg.count() > LOCAL_EDGE_THRESHOLD:
+            raise NotImplementedError(
+                "louvain gathers the graph (single-node, reference-parity "
+                "with NetworKit PLM); above LOCAL_EDGE_THRESHOLD coarsen first"
+            )
+        ss, dd, ww = [], [], []
+        for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            ss.append(b["src"].to_numpy())
+            dd.append(b["dst"].to_numpy())
+            ww.append(b["w"].to_numpy())
+        s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+        d = np.concatenate(dd) if dd else np.empty(0, np.int64)
+        w = np.concatenate(ww) if ww else np.empty(0)
+    if len(s) == 0:
+        return rd.from_arrow(
+            pa.table({"id": np.empty(0, np.int64), "community": np.empty(0, np.int64)})
+        )
+    vids = np.unique(np.concatenate([s, d]))
+    V = len(vids)
+    si = np.searchsorted(vids, s)
+    di = np.searchsorted(vids, d)
+    comm = _louvain_index(si, di, w, V, resolution, max_levels, max_passes)
+    # normalize: label = min original vertex id in the community
+    min_id = np.full(int(comm.max()) + 1, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(min_id, comm, vids)
+    return rd.from_arrow(pa.table({"id": vids, "community": min_id[comm]}))
+
+
+def modularity(edges: Dataset, labels: dict[int, int] | None = None,
+               label_ds: Dataset | None = None) -> float:
+    """Q = Σ_c [Σ_in_c/m − (Σ_tot_c/2m)²] over the canonical simple graph
+    (unweighted).  ``labels`` maps vertex id → community."""
+    canon = canonical_edges(edges).materialize()
+    s, d = _gather_canonical(canon)
+    if labels is None:
+        labels = {
+            r["id"]: r["community"] for r in label_ds.take_all()
+        }
+    if len(s) == 0:
+        return 0.0
+    lab_s = np.fromiter((labels[i] for i in s.tolist()), np.int64, len(s))
+    lab_d = np.fromiter((labels[i] for i in d.tolist()), np.int64, len(d))
+    m = float(len(s))
+    inside = float(np.count_nonzero(lab_s == lab_d))
+    # Σ_tot per community = sum of degrees of members
+    vids = np.unique(np.concatenate([s, d]))
+    deg = {}
+    for arr in (s, d):
+        u, c = np.unique(arr, return_counts=True)
+        for i, n_ in zip(u.tolist(), c.tolist()):
+            deg[i] = deg.get(i, 0) + n_
+    tot: dict[int, float] = {}
+    for v, dv in deg.items():
+        c = labels[v]
+        tot[c] = tot.get(c, 0.0) + dv
+    return inside / m - sum((t / (2 * m)) ** 2 for t in tot.values())

@@ -122,3 +122,105 @@ def classify_with_model(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+@ray.remote
+def _lin_partials(t: pa.Table, feat_cols: list, target_col: str):
+    """Per-block normal-equation partials: (X'X, X'y, n) with intercept."""
+    X = np.column_stack(
+        [np.ones(t.num_rows)]
+        + [t.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in feat_cols]
+    )
+    y = t.column(target_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return X.T @ X, X.T @ y, len(y)
+
+
+def train_linear_regression(
+    ds: Dataset, feature_cols: list, target_col: str
+) -> np.ndarray:
+    """Closed-form least squares (Regression.scala:26 analog): per-block
+    X'X / X'y partials (d+1 × d+1 each — driver merges matrices, never
+    rows), solved once.  Returns [intercept, coef...]."""
+    blocks = ds.select_columns(list(feature_cols) + [target_col]).materialize().to_arrow_refs()
+    parts = ray.get(
+        [_lin_partials.remote(b, list(feature_cols), target_col) for b in blocks]
+    )
+    XtX = np.sum([p[0] for p in parts], axis=0)
+    Xty = np.sum([p[1] for p in parts], axis=0)
+    return np.linalg.solve(XtX, Xty)
+
+
+@ray.remote
+def _logit_grad(t: pa.Table, beta: np.ndarray, feat_cols: list, label_col: str):
+    X = np.column_stack(
+        [np.ones(t.num_rows)]
+        + [t.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in feat_cols]
+    )
+    y = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    return X.T @ (p - y), len(y)
+
+
+def train_logistic_regression(
+    ds: Dataset,
+    feature_cols: list,
+    label_col: str,
+    iterations: int = 100,
+    lr: float = 1.0,
+) -> np.ndarray:
+    """Deterministic full-batch gradient descent
+    (LogisticRegressionModelTrainer.scala:73 analog): per-iteration
+    per-block gradient partials (d+1 vectors), merged on the driver.
+    Returns [intercept, coef...]."""
+    blocks = ds.select_columns(list(feature_cols) + [label_col]).materialize().to_arrow_refs()
+    dim = len(feature_cols) + 1
+    beta = np.zeros(dim)
+    for _ in range(iterations):
+        bref = ray.put(beta)
+        parts = ray.get(
+            [_logit_grad.remote(b, bref, list(feature_cols), label_col) for b in blocks]
+        )
+        grad = np.sum([p[0] for p in parts], axis=0)
+        n = sum(p[1] for p in parts)
+        beta = beta - lr * grad / max(n, 1)
+    return beta
+
+
+class LinearScorer:
+    """Actor-pool scoring stage for the linear/logistic models — the
+    ClassifyWithModel slot (model fetched once per actor in __init__)."""
+
+    def __init__(self, beta_ref, feat_cols, id_col: str, logistic: bool = False,
+                 out: str = "prediction"):
+        self.beta = ray.get(beta_ref)
+        self.feat_cols = list(feat_cols)
+        self.id_col = id_col
+        self.logistic = logistic
+        self.out = out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = np.column_stack(
+            [np.ones(t.num_rows)]
+            + [
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in self.feat_cols
+            ]
+        )
+        z = X @ self.beta
+        if self.logistic:
+            z = 1.0 / (1.0 + np.exp(-z))
+        return pa.table({self.id_col: t.column(self.id_col), self.out: z})
+
+
+def predict_with_model(
+    ds: Dataset, beta: np.ndarray, feature_cols, id_col: str,
+    logistic: bool = False, concurrency: int = 2,
+) -> Dataset:
+    ref = ray.put(np.asarray(beta, np.float64))
+    return ds.map_batches(
+        LinearScorer,
+        fn_constructor_args=(ref, list(feature_cols), id_col, logistic),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

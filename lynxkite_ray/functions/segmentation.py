@@ -1,0 +1,481 @@
+"""Segmentation structure operators (SURVEY §2.2 row "GrowSegmentation,
+EdgesFromSegmentation, CombineSegmentations…"):
+
+- ``edges_from_segmentation`` — EdgesFromSegmentation.scala:25: lift a
+  graph's edges onto its segmentation: every original edge (a, b) becomes
+  a (segment(a), segment(b)) edge; emitted aggregated with an ``n_edges``
+  multiplicity (deterministic, SQL-mirrorable form of the reference's
+  one-row-per-membership-pair bundle).
+- ``combine_segmentations`` — CombineSegmentations.scala:32: the combined
+  segmentation's segments are the non-empty intersections of the inputs;
+  the segment key is the '|'-joined pair of keys.
+- ``merge_vertices_full`` — MergeVertices.scala:36-75 full output:
+  (id, segment, representative) — segments keyed by the attribute value,
+  belongsTo as the id→segment column, representative = min member id
+  (the reference picks a seeded-random member; min is the pinned
+  deterministic choice, same normalization as components).
+- ``segment_by_event_sequence`` — SegmentByEventSequence.scala:138
+  analog: vertices (users) belong to one segment per event-type bigram
+  they produced within a time window (the "continuous events" mode with
+  sequenceLength=2 re-expressed over an event table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..context import default_partitions
+from ..stages.shuffle import COALESCE_BATCH, distinct, grouped_aggregate, hash_partition
+
+
+def edges_from_segmentation(
+    edges: Dataset, belongs: Dataset, num_partitions: int | None = None
+) -> Dataset:
+    """edges (src, dst) × belongsTo (id, segment) → (seg_src, seg_dst,
+    n_edges).  Two hash joins (src side then dst side)."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    b_src = belongs.map_batches(
+        lambda t: t.rename_columns(["src", "seg_src"]), **mb
+    )
+    b_dst = belongs.map_batches(
+        lambda t: t.rename_columns(["dst", "seg_dst"]), **mb
+    )
+    j = edges.select_columns(["src", "dst"]).join(
+        b_src, join_type="inner", num_partitions=num_partitions, on=("src",)
+    )
+    j = j.join(b_dst, join_type="inner", num_partitions=num_partitions, on=("dst",))
+    ones = j.map_batches(
+        lambda t: pa.table(
+            {
+                "seg_src": t["seg_src"],
+                "seg_dst": t["seg_dst"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        **mb,
+    )
+    return grouped_aggregate(
+        ones, ["seg_src", "seg_dst"], [("one", "sum", "n_edges")], num_partitions
+    )
+
+
+def combine_segmentations(
+    b1: Dataset, b2: Dataset, sep: str = "|", num_partitions: int | None = None
+) -> Dataset:
+    """Two belongsTo tables (id, segment) → (id, segment) of the
+    intersection segmentation (segment = seg1 | seg2)."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    left = b1.map_batches(lambda t: t.rename_columns(["id", "_s1"]), **mb)
+    right = b2.map_batches(lambda t: t.rename_columns(["id", "_s2"]), **mb)
+    j = left.join(right, join_type="inner", num_partitions=num_partitions, on=("id",))
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "segment": pc.binary_join_element_wise(
+                    pc.cast(t["_s1"], pa.string()), pc.cast(t["_s2"], pa.string()), sep
+                ),
+            }
+        ),
+        **mb,
+    )
+
+
+def merge_vertices_full(
+    ds: Dataset, key_col: str, id_col: str, num_partitions: int | None = None
+) -> Dataset:
+    """MergeVertices full output: (id, segment, representative).  One
+    min-aggregate per segment + a join back onto the membership table."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    members = ds.select_columns([id_col, key_col]).map_batches(
+        lambda t: t.rename_columns(["id", "segment"]), **mb
+    )
+    reps = grouped_aggregate(
+        members, ["segment"], [("id", "min", "representative")], num_partitions
+    )
+    j = members.join(reps, join_type="inner", num_partitions=num_partitions, on=("segment",))
+    return j.select_columns(["id", "segment", "representative"])
+
+
+def segment_by_event_sequence(
+    events: Dataset,
+    window_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """(user_id, segment) — one row per distinct event-type bigram the user
+    produced with gap ≤ window (segment = "t1>t2").  One hash shuffle by
+    user, then per-block vectorized sequence scan (users are
+    block-complete after the shuffle)."""
+    part = hash_partition(
+        events.select_columns([user_col, ts_col, type_col, order_col]),
+        [user_col],
+        num_partitions,
+    )
+    win_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "segment": pa.array([], pa.string()),
+                }
+            )
+        u = t.column(user_col).to_numpy()
+        ts = t.column(ts_col).to_numpy().astype("datetime64[us]").view(np.int64)
+        ty = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        oc = t.column(order_col).to_numpy()
+        order = np.lexsort((oc, ts, u))
+        u, ts, ty = u[order], ts[order], ty[order]
+        same = u[1:] == u[:-1]
+        ok = same & ((ts[1:] - ts[:-1]) <= win_us)
+        t1 = ty[:-1][ok]
+        t2 = ty[1:][ok]
+        segs = np.array([f"{a}>{b}" for a, b in zip(t1, t2)], dtype=object)
+        return pa.table(
+            {
+                user_col: u[:-1][ok],
+                "segment": pa.array(segs, pa.string()),
+            }
+        )
+
+    raw = part.map_batches(
+        bigrams, batch_format="pyarrow", zero_copy_batch=True, batch_size=COALESCE_BATCH
+    )
+    return distinct(raw, [user_col, "segment"], num_partitions)
+
+
+def set_overlap(
+    belongs: Dataset,
+    min_overlap: int = 2,
+    seg_col: str = "segment",
+    member_col: str = "member",
+    num_partitions: int | None = None,
+    max_df: int | None = None,
+) -> Dataset:
+    """SetOverlap.scala:25 — edges between segments sharing ≥ min_overlap
+    members, with the overlap size.  Pinned form: (src < dst, overlap).
+
+    Inverted index by member → per-member segment-pair expansion (the
+    reference's prefix-tree trick bounds the same blowup; we bound it with
+    a member-frequency cap like jaccard_pairs: a member on > max_df
+    segments generates no pairs, and overlap counts stay exact via the
+    join-back recount).
+    """
+    import os
+
+    from .dedup import _typed_guard
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    if max_df is None:
+        max_df = int(os.environ.get("LKR_SETOVERLAP_MAX_DF", 1000))
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    m = belongs.select_columns([seg_col, member_col]).map_batches(
+        lambda t: t.rename_columns(["seg", "mem"]), **mb
+    )
+    m = distinct(m, ["seg", "mem"], num_partitions).materialize()
+
+    from .dedup import VERIFY_BCAST_POSTINGS
+
+    if m.count() <= VERIFY_BCAST_POSTINGS:
+        # small-membership fast path: candidate pairs + exact recount on
+        # the driver (the join plan below costs ~7 shuffle operators of
+        # fixed overhead that dwarf this size)
+        import ray
+
+        tables = ray.get(m.to_arrow_refs())
+        seg = np.concatenate([t.column("seg").to_numpy() for t in tables if t.num_rows])
+        mem = np.concatenate([t.column("mem").to_numpy() for t in tables if t.num_rows])
+        order = np.lexsort((seg, mem))
+        mem_s, seg_s = mem[order], seg[order]
+        bound = np.empty(len(mem_s), dtype=bool)
+        if len(mem_s) == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64()),
+                        "overlap": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        bound[0] = True
+        bound[1:] = mem_s[1:] != mem_s[:-1]
+        starts = np.flatnonzero(bound)
+        sizes = np.diff(np.append(starts, len(mem_s)))
+        src_out, dst_out = [], []
+        for size in np.unique(sizes):
+            if size < 2 or size > max_df:
+                continue
+            gs = starts[sizes == size]
+            mat = seg_s[gs[:, None] + np.arange(size)[None, :]]
+            iu, ju = np.triu_indices(int(size), 1)
+            src_out.append(mat[:, iu].ravel())
+            dst_out.append(mat[:, ju].ravel())
+        if not src_out:
+            import ray.data as rdm
+
+            return rdm.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64()),
+                        "overlap": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        ps = np.concatenate(src_out)
+        pd_ = np.concatenate(dst_out)
+        po = np.lexsort((pd_, ps))
+        ps, pd_ = ps[po], pd_[po]
+        pb = np.empty(len(ps), dtype=bool)
+        pb[0] = True
+        pb[1:] = (ps[1:] != ps[:-1]) | (pd_[1:] != pd_[:-1])
+        pstarts = np.flatnonzero(pb)
+        counts = np.diff(np.append(pstarts, len(ps)))
+        usrc, udst = ps[pstarts], pd_[pstarts]
+        hot_members = int(np.count_nonzero(sizes > max_df))
+        if hot_members:
+            # exact recount for candidate pairs (capped members skipped
+            # during generation still count toward overlap)
+            members: dict = {}
+            for sg, mm in zip(seg.tolist(), mem.tolist()):
+                members.setdefault(sg, set()).add(mm)
+            counts = np.fromiter(
+                (
+                    len(members[a] & members[b])
+                    for a, b in zip(usrc.tolist(), udst.tolist())
+                ),
+                np.int64,
+                len(usrc),
+            )
+        keep = counts >= min_overlap
+        import ray.data as rdm
+
+        return rdm.from_arrow(
+            pa.table(
+                {
+                    "src": usrc[keep],
+                    "dst": udst[keep],
+                    "overlap": counts[keep].astype(np.int64),
+                }
+            )
+        )
+
+    dfs = grouped_aggregate(m, ["mem"], [("seg", "count", "df")], num_partitions)
+    hot = dfs.map_batches(
+        lambda t: t.filter(pc.greater(t["df"], max_df)).select(["mem"]), **mb
+    )
+    hot_vals = [
+        x
+        for b in hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        for x in b["mem"].to_pylist()
+    ]
+    gen_src = m
+    if hot_vals:
+        hv = pa.array(hot_vals)
+        gen_src = m.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["mem"], value_set=hv))), **mb
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        mem = t.column("mem").to_numpy(zero_copy_only=False)
+        seg = t.column("seg").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seg, mem))
+        mem, seg = mem[order], seg[order]
+        bound = np.empty(len(mem), dtype=bool)
+        bound[0] = True
+        bound[1:] = mem[1:] != mem[:-1]
+        starts = np.flatnonzero(bound)
+        sizes = np.diff(np.append(starts, len(mem)))
+        src_out, dst_out = [], []
+        for size in np.unique(sizes):
+            if size < 2:
+                continue
+            gs = starts[sizes == size]
+            mat = seg[gs[:, None] + np.arange(size)[None, :]]
+            iu, ju = np.triu_indices(int(size), 1)
+            src_out.append(mat[:, iu].ravel())
+            dst_out.append(mat[:, ju].ravel())
+        if not src_out:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"src": np.concatenate(src_out), "dst": np.concatenate(dst_out)}
+        )
+
+    cand = hash_partition(gen_src, ["mem"], num_partitions).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=COALESCE_BATCH
+    )
+    cand = distinct(cand, ["src", "dst"], num_partitions)
+
+    # exact overlap recount for candidates: cand ⋈ members(src) ⋈ members(dst, mem)
+    m_src = m.map_batches(lambda t: t.rename_columns(["src", "mem"]), **mb)
+    m_dst = m.map_batches(lambda t: t.rename_columns(["dst", "mem"]), **mb)
+    guard = _typed_guard(
+        [("src", pa.int64()), ("dst", pa.int64()), ("mem", pa.int64())]
+    )
+    p1 = cand.join(m_src, join_type="inner", num_partitions=num_partitions, on=("src",))
+    p1 = p1.map_batches(guard, **mb)
+    shared = p1.join(
+        m_dst, join_type="inner", num_partitions=num_partitions, on=("dst", "mem")
+    ).map_batches(guard, **mb)
+    counts = grouped_aggregate(
+        shared.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            **mb,
+        ),
+        ["src", "dst"],
+        [("one", "sum", "overlap")],
+        num_partitions,
+    )
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["overlap"], min_overlap)), **mb
+    )
+
+
+def check_cliques(
+    belongs: Dataset,
+    edges: Dataset,
+    seg_col: str = "segment",
+    member_col: str = "member",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """CheckClique.scala:28 (needsBothDirections=False pinned): a segment
+    is a clique iff every unordered member pair is connected in either
+    direction.  (segment, is_clique)."""
+    from ..stages.edges import canonical_edges
+    from .dedup import _typed_guard
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    m = belongs.select_columns([seg_col, member_col]).map_batches(
+        lambda t: t.rename_columns(["seg", "mem"]), **mb
+    )
+    m = distinct(m, ["seg", "mem"], num_partitions).materialize()
+    sizes = grouped_aggregate(m, ["seg"], [("mem", "count", "n")], num_partitions)
+
+    # member pairs per segment (canonical min<max)
+    def seg_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "seg": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                }
+            )
+        seg = t.column("seg").to_numpy()
+        mem = t.column("mem").to_numpy()
+        order = np.lexsort((mem, seg))
+        seg, mem = seg[order], mem[order]
+        bound = np.empty(len(seg), dtype=bool)
+        bound[0] = True
+        bound[1:] = seg[1:] != seg[:-1]
+        starts = np.flatnonzero(bound)
+        szs = np.diff(np.append(starts, len(seg)))
+        so, xo, yo = [], [], []
+        for size in np.unique(szs):
+            if size < 2:
+                continue
+            gs = starts[szs == size]
+            mat = mem[gs[:, None] + np.arange(size)[None, :]]
+            iu, ju = np.triu_indices(int(size), 1)
+            so.append(np.repeat(seg[gs], len(iu)))
+            xo.append(mat[:, iu].ravel())
+            yo.append(mat[:, ju].ravel())
+        if not so:
+            return pa.table(
+                {
+                    "seg": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "seg": np.concatenate(so),
+                "src": np.concatenate(xo),
+                "dst": np.concatenate(yo),
+            }
+        )
+
+    pairs = hash_partition(m, ["seg"], num_partitions).map_batches(
+        seg_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=COALESCE_BATCH
+    )
+    canon = canonical_edges(edges).map_batches(
+        lambda t: t.append_column("_conn", pa.array(np.ones(t.num_rows, np.int8))), **mb
+    )
+    j = pairs.join(
+        canon, join_type="left_outer", num_partitions=num_partitions, on=("src", "dst")
+    ).map_batches(
+        _typed_guard(
+            [
+                ("seg", pa.int64()),
+                ("src", pa.int64()),
+                ("dst", pa.int64()),
+                ("_conn", pa.int8()),
+            ]
+        ),
+        **mb,
+    )
+    conn = grouped_aggregate(
+        j.map_batches(
+            lambda t: pa.table(
+                {
+                    "seg": t["seg"],
+                    "c": pc.cast(pc.fill_null(t["_conn"], 0), pa.int64()),
+                }
+            ),
+            **mb,
+        ),
+        ["seg"],
+        [("c", "sum", "connected")],
+        num_partitions,
+    )
+    out = sizes.join(
+        conn, join_type="left_outer", num_partitions=num_partitions, on=("seg",)
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "segment": pa.array([], pa.int64()),
+                    "is_clique": pa.array([], pa.bool_()),
+                }
+            )
+        n = t.column("n").to_numpy().astype(np.int64)
+        c = pc.fill_null(t.column("connected"), 0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"segment": t["seg"], "is_clique": pa.array(c == n * (n - 1) // 2)}
+        )
+
+    return out.map_batches(finalize, **mb)

@@ -1,0 +1,177 @@
+"""Driver queries for the segmentation operator battery, each with an
+exact DuckDB oracle (brand/mktsegment segmentations over the TPC-H-ish
+fixtures; event-sequence segments over the events table)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.segmentation import (
+    combine_segmentations,
+    edges_from_segmentation,
+    merge_vertices_full,
+    segment_by_event_sequence,
+)
+
+
+def _brand_belongs(sf_dir: str):
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    return part.map_batches(
+        lambda t: pa.table({"id": t["p_partkey"], "segment": t["p_brand"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_edges_from_segmentation(sf_dir: str):
+    """EdgesFromSegmentation.scala:25 — co-purchase part edges lifted onto
+    the brand segmentation, with multiplicities."""
+    from .copurchase import copurchase_edges
+
+    return edges_from_segmentation(copurchase_edges(sf_dir), _brand_belongs(sf_dir))
+
+
+EDGES_FROM_SEG_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT pa.p_brand AS seg_src, pb.p_brand AS seg_dst, COUNT(*) AS n_edges
+FROM edges
+JOIN part pa ON pa.p_partkey = edges.src
+JOIN part pb ON pb.p_partkey = edges.dst
+GROUP BY 1, 2
+"""
+
+
+def q_combine_segmentations(sf_dir: str):
+    """CombineSegmentations.scala:32 — brand × size-bucket segmentation of
+    parts (segment key = brand | size%5)."""
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+    def size_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sizes = t.column("p_size").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": t["p_partkey"],
+                "segment": pa.array((sizes % 5).astype(str), pa.string()),
+            }
+        )
+
+    size_seg = part.map_batches(size_bucket, batch_format="pyarrow")
+    return combine_segmentations(_brand_belongs(sf_dir), size_seg)
+
+
+COMBINE_SEG_SQL = """
+SELECT p_partkey AS id,
+       p_brand || '|' || CAST(p_size % 5 AS VARCHAR) AS segment
+FROM part
+"""
+
+
+def q_merge_vertices_full(sf_dir: str):
+    """MergeVertices.scala:36-75 full output over customers keyed by
+    market segment: (id, segment, representative=min member id)."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return merge_vertices_full(cust, "c_mktsegment", "c_custkey")
+
+
+MERGE_FULL_SQL = """
+SELECT c_custkey AS id, c_mktsegment AS segment,
+       MIN(c_custkey) OVER (PARTITION BY c_mktsegment) AS representative
+FROM customer
+"""
+
+
+def q_segment_by_event_sequence(sf_dir: str):
+    """SegmentByEventSequence.scala:138 analog — event-type bigrams within
+    a 60-minute window per user."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return segment_by_event_sequence(events, window_minutes=60)
+
+
+SEGMENT_EVENTS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS t1, ts,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts2
+  FROM events
+)
+SELECT DISTINCT user_id, t1 || '>' || t2 AS segment
+FROM seq
+WHERE t2 IS NOT NULL AND ts2 - ts <= INTERVAL 60 MINUTE
+"""
+
+
+def _order_members(sf_dir: str):
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return li.map_batches(
+        lambda t: pa.table({"segment": t["l_orderkey"], "member": t["l_partkey"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_set_overlap(sf_dir: str):
+    """SetOverlap.scala:25 — orders as (overlapping) part-sets; edges
+    between orders sharing ≥ 2 parts."""
+    from ..functions.segmentation import set_overlap
+
+    return set_overlap(_order_members(sf_dir), min_overlap=2)
+
+
+SET_OVERLAP_SQL = """
+WITH mem AS (SELECT DISTINCT l_orderkey AS seg, l_partkey AS v FROM lineitem)
+SELECT a.seg AS src, b.seg AS dst, COUNT(*) AS overlap
+FROM mem a JOIN mem b ON a.v = b.v AND a.seg < b.seg
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_check_cliques(sf_dir: str):
+    """CheckClique.scala:28 — are each order's parts a clique in the
+    directed precedence graph (either-direction connectivity)?"""
+    from ..functions.segmentation import check_cliques
+    from .structure import precedence_edges
+
+    return check_cliques(_order_members(sf_dir), precedence_edges(sf_dir))
+
+
+CHECK_CLIQUE_SQL = """
+WITH prec AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey != b.l_partkey
+),
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM prec
+),
+mem AS (SELECT DISTINCT l_orderkey AS seg, l_partkey AS v FROM lineitem),
+n AS (SELECT seg, COUNT(*) AS n FROM mem GROUP BY seg),
+pairs AS (
+  SELECT a.seg, a.v AS x, b.v AS y
+  FROM mem a JOIN mem b ON a.seg = b.seg AND a.v < b.v
+),
+conn AS (
+  SELECT p.seg, COUNT(*) AS c
+  FROM pairs p JOIN canon e ON e.x = p.x AND e.y = p.y
+  GROUP BY p.seg
+)
+SELECT n.seg AS segment,
+       COALESCE(conn.c, 0) = n.n * (n.n - 1) / 2 AS is_clique
+FROM n LEFT JOIN conn ON conn.seg = n.seg
+"""
