@@ -41,28 +41,25 @@ def flagship(
     if pages_path is None:
         pages_path = pages_parquet(n_pages, seed)
     pages = rd.read_parquet(pages_path, columns=["url", "html"])
-    links = extract_links(pages).materialize()
+    # keep only the int64 id pair before materializing: the url string
+    # columns are an order of magnitude heavier and nothing downstream
+    # reads them
+    links = extract_links(pages).select_columns(["src", "dst"]).materialize()
     edges = links_to_edges(links).materialize()
     # Pages with no out-links surface as sentinel rows (dst = -1); without
     # them a page with neither out- nor in-links would vanish from the
     # vertex set, skewing N and thus every PageRank value (every crawled
     # page is a vertex in the reference semantics, VerticesToEdges.scala:30).
-    import pyarrow.compute as pc
+    import ray
 
-    sentinels = links.select_columns(["src", "dst"]).map_batches(
-        lambda t: t.filter(pc.equal(t["dst"], -1)).select(["src"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    extra = np.unique(
-        np.concatenate(
-            [
-                b.column("src").to_numpy()
-                for b in sentinels.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-            ]
-            or [np.empty(0, dtype=np.int64)]
-        )
-    )
+    @ray.remote
+    def _sentinel_srcs(t):
+        d = t.column("dst").to_numpy()
+        return np.unique(t.column("src").to_numpy()[d == -1])
+
+    parts = ray.get([_sentinel_srcs.remote(r) for r in links.to_arrow_refs()])
+    parts = [p for p in parts if len(p)]
+    extra = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
     graph = Graph.from_edges(edges, extra_vertices=extra)
     ranks = pagerank(
         graph, damping=damping, iterations=iterations, checkpoint_root=checkpoint_root

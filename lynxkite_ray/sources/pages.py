@@ -67,14 +67,22 @@ def page_out_links(i: int, n: int, seed: int) -> list[str]:
     return targets
 
 
-def synth_page(i: int, n: int, seed: int) -> tuple[str, int, bytes, str, str]:
-    """Returns (url, warc_ts_ms, html, text, lang) for page index i."""
+def synth_page(
+    i: int, n: int, seed: int, heavy: bool = False
+) -> tuple[str, int, bytes, str, str]:
+    """Returns (url, warc_ts_ms, html, text, lang) for page index i.
+
+    ``heavy`` pages carry ~15-40KB of body markup (real Common-Crawl pages
+    average 50-100KB; the default tiny profile under-weights per-page parse
+    work so badly that framework fixed costs dominate any throughput
+    measurement — the scaling bench uses the heavy profile)."""
     rng = _rng(seed, i)
     url = page_url(i)
     lang = LANGS[i % len(LANGS)]
     ts_ms = 1_700_000_000_000 + (i * 73_057) % 31_536_000_000
 
-    words = rng.choice(_WORDS, size=int(rng.integers(20, 120)))
+    lo, hi = (900, 2400) if heavy else (20, 120)
+    words = rng.choice(_WORDS, size=int(rng.integers(lo, hi)))
     paras = []
     row = []
     for w in words:
@@ -142,12 +150,12 @@ def pages_table(n: int, seed: int = 42, start: int = 0, stop: int | None = None)
 class _PageBatchGen:
     """Distributed generator stage: batch of indices → batch of pages."""
 
-    def __init__(self, n: int, seed: int):
-        self.n, self.seed = n, seed
+    def __init__(self, n: int, seed: int, heavy: bool = False):
+        self.n, self.seed, self.heavy = n, seed, heavy
 
     def __call__(self, batch) -> pa.Table:
         ids = batch["id"].to_pylist() if isinstance(batch, pa.Table) else list(batch["id"])
-        rows = [synth_page(int(i), self.n, self.seed) for i in ids]
+        rows = [synth_page(int(i), self.n, self.seed, self.heavy) for i in ids]
         urls, tss, htmls, texts, langs = zip(*rows)
         return pa.table(
             {
@@ -160,21 +168,22 @@ class _PageBatchGen:
         )
 
 
-def pages_dataset(n: int, seed: int = 42, *, batch_size: int = 1000):
+def pages_dataset(n: int, seed: int = 42, *, batch_size: int = 1000, heavy: bool = False):
     """Distributed pages Dataset: ray.data.range(n) → map_batches(generator).
     Generation is embarrassingly parallel; no driver-side materialization."""
     import ray.data as rd
-    from functools import partial
 
-    gen = _PageBatchGen(n, seed)
+    gen = _PageBatchGen(n, seed, heavy)
     return rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
 
 
-def pages_parquet(n: int, seed: int = 42, root: str = "/tmp/lkr_pages") -> str:
+def pages_parquet(
+    n: int, seed: int = 42, root: str = "/tmp/lkr_pages", heavy: bool = False
+) -> str:
     """Generate-once parquet cache for benches/queries: one directory per
-    (n, seed), written atomically (tmp dir + rename) so concurrent/killed
-    runs can't observe partial data."""
-    path = os.path.join(root, f"n{n}_s{seed}")
+    (n, seed[, heavy]), written atomically (tmp dir + rename) so
+    concurrent/killed runs can't observe partial data."""
+    path = os.path.join(root, f"n{n}_s{seed}" + ("_heavy" if heavy else ""))
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     tmp = path + ".tmp"
@@ -182,7 +191,7 @@ def pages_parquet(n: int, seed: int = 42, root: str = "/tmp/lkr_pages") -> str:
 
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    ds = pages_dataset(n, seed)
+    ds = pages_dataset(n, seed, heavy=heavy)
     ds.write_parquet(tmp)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("")

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
@@ -33,6 +34,64 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
     return pa.table({"src": s[keep], "dst": d[keep]})
 
 
+# Below this many (pre-deduped) rows the pair dedup runs as a direct task
+# exchange (split by pair hash → per-bucket dedup) instead of the Dataset
+# hash shuffle: the shuffle operator's actor-pool spin-up costs seconds of
+# fixed overhead that dwarf small exchanges, while the task exchange's
+# O(blocks × buckets) object count caps its own scale — the same
+# small/large two-path split as HybridRDD.
+TASK_DEDUP_MAX_ROWS = int(__import__("os").environ.get("LKR_TASK_DEDUP_ROWS", 50_000_000))
+
+
+@ray.remote
+def _pair_split(t: pa.Table, nb: int):
+    src = t.column("src").to_numpy()
+    dst = t.column("dst").to_numpy()
+    h = (
+        src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ dst.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+    ) % np.uint64(nb)
+    idx = h.astype(np.int64)
+    order = np.argsort(idx, kind="stable")
+    src, dst, idx = src[order], dst[order], idx[order]
+    counts = np.bincount(idx, minlength=nb)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    out = tuple(
+        pa.table({"src": src[offs[b] : offs[b + 1]], "dst": dst[offs[b] : offs[b + 1]]})
+        for b in range(nb)
+    )
+    return out if nb > 1 else out[0]
+
+
+@ray.remote
+def _pair_dedup_bucket(*parts: pa.Table):
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        e = np.empty(0, np.int64)
+        return pa.table({"src": e, "dst": e})
+    src = np.concatenate([t.column("src").to_numpy() for t in tables])
+    dst = np.concatenate([t.column("dst").to_numpy() for t in tables])
+    return _local_dedup(pa.table({"src": src, "dst": dst}))
+
+
+def _pair_exchange_dedup(mat: Dataset) -> Dataset:
+    """Exact (src, dst) dedup of a materialized pre-deduped pair Dataset
+    via one raw-task exchange."""
+    import ray.data as rd
+
+    block_refs = mat.to_arrow_refs()
+    if not block_refs:
+        return mat
+    nb = min(64, max(1, num_blocks_for(mat.count())))
+    if nb == 1:
+        return rd.from_arrow_refs([_pair_dedup_bucket.remote(*block_refs)])
+    splits = [_pair_split.options(num_returns=nb).remote(r, nb) for r in block_refs]
+    buckets = [
+        _pair_dedup_bucket.remote(*[s[b] for s in splits]) for b in range(nb)
+    ]
+    return rd.from_arrow_refs(buckets)
+
+
 def links_to_edges(links: Dataset) -> Dataset:
     """links (src, dst, …) → deduplicated (src, dst) edge table.
 
@@ -46,7 +105,9 @@ def links_to_edges(links: Dataset) -> Dataset:
         lambda t: _local_dedup(t.filter(pc.greater_equal(t["dst"], 0))),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+    if e.count() <= TASK_DEDUP_MAX_ROWS:
+        return _pair_exchange_dedup(e)
     # global dedup: hash shuffle on the pair, per-block keep-one
     return distinct(e, ["src", "dst"])
 
@@ -127,7 +188,9 @@ def canonical_edges(edges: Dataset) -> Dataset:
 
     e = edges.select_columns(["src", "dst"]).map_batches(
         canon, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
+    if e.count() <= TASK_DEDUP_MAX_ROWS:
+        return _pair_exchange_dedup(e)
     return distinct(e, ["src", "dst"])
 
 

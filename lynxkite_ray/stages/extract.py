@@ -175,11 +175,14 @@ class TextExtractor:
         )
 
 
-def extract_links(pages_ds, *, concurrency=None, batch_size: int = 128):
+def extract_links(pages_ds, *, concurrency=None, batch_size: int = 512):
     """pages Dataset → links Dataset.
 
-    batch_size is small because each row carries a full html payload
-    (wide-row hazard, SURVEY §7.5.6).
+    batch_size is modest because each row carries a full html payload
+    (wide-row hazard, SURVEY §7.5.6); 512 × ~3-100KB html keeps batches in
+    the low-MB..50MB range while cutting per-task overhead 4x vs 128
+    (measured: the extract stage scales 3.5x from 8→32 CPUs at 512 vs
+    2.75x at 128).
 
     Runs as STATELESS tasks by default: the extractor's per-process state
     (compiled regexes, parser tables) is module-level, so Ray's reused
@@ -204,7 +207,7 @@ def extract_links(pages_ds, *, concurrency=None, batch_size: int = 128):
     )
 
 
-def extract_texts(pages_ds, *, concurrency=None, batch_size: int = 128):
+def extract_texts(pages_ds, *, concurrency=None, batch_size: int = 512):
     if concurrency is not None:
         return pages_ds.map_batches(
             TextExtractor,
