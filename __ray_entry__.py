@@ -381,6 +381,14 @@ def _q_louvain(sf_dir: str):
     return louvain(copurchase_edges(sf_dir))
 
 
+def _q_modular_partitioning(sf_dir: str):
+    """FindModularPartitioning.scala:29 analog — rows-only."""
+    from lynxkite_ray.functions.graph.louvain import find_modular_partitioning
+    from lynxkite_ray.pipelines.copurchase import copurchase_edges
+
+    return find_modular_partitioning(copurchase_edges(sf_dir))
+
+
 def _q_dispersion(sf_dir: str):
     """Dispersion.scala:49 analog over the precedence graph — rows-only
     (exact brute-force differential in pytest)."""
@@ -503,6 +511,39 @@ def _q_logistic_scores(sf_dir: str):
     )
 
 
+def _q_decision_tree(sf_dir: str):
+    """TrainDecisionTreeClassifier.scala:44 analog — histogram-CART on
+    lineitem (price-band from quantity), scored by the actor-pool stage.
+    Rows-only (greedy tree training is not SQL-expressible)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import classify_with_tree, train_decision_tree
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rowid": pc.add(
+                    pc.multiply(t["l_orderkey"], pa.scalar(10, pa.int64())),
+                    pc.cast(t["l_linenumber"], pa.int64()),
+                ),
+                "qty": pc.cast(t["l_quantity"], pa.float64()),
+                "lab": pc.cast(
+                    pc.greater(t["l_extendedprice"], 30000.0), pa.int64()
+                ),
+            }
+        )
+
+    feats = li.map_batches(prep, batch_format="pyarrow")
+    model = train_decision_tree(feats, ["qty"], "lab", max_depth=3)
+    return classify_with_tree(feats, model, "rowid")
+
+
 def _q_scale_free(sf_dir: str):
     """ScaleFreeEdgeBundle.scala:37 analog (Chung-Lu parallel generator):
     degree table of a deterministic synthetic power-law graph — rows-only
@@ -560,12 +601,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_embeddedness": _q_approx_embeddedness,
         "approx_clustering_coefficient": _q_approx_clustering,
         "dispersion": _q_dispersion,
+        "modular_partitioning": _q_modular_partitioning,
         "max_cliques": _q_max_cliques,
         "sampled_histogram": _q_sampled_histogram,
         "elementwise_mean": _q_elementwise_mean,
         "scale_free_degrees": _q_scale_free,
         "linear_regression": _q_linear_regression,
         "logistic_scores": _q_logistic_scores,
+        "decision_tree_scores": _q_decision_tree,
         # relational operator battery
         "q1_pricing_summary": R.q1_pricing_summary,
         "filter_project_revenue": R.filter_project_revenue,

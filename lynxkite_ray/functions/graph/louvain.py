@@ -232,3 +232,12 @@ def modularity(edges: Dataset, labels: dict[int, int] | None = None,
         c = labels[v]
         tot[c] = tot.get(c, 0.0) + dv
     return inside / m - sum((t / (2 * m)) ** 2 for t in tot.values())
+
+
+def find_modular_partitioning(edges: Dataset, resolution: float = 1.0,
+                              max_passes: int = 10) -> Dataset:
+    """FindModularPartitioning.scala:29 analog — ONE level of pinned-order
+    modularity-greedy local moving (no contraction), the reference's
+    lighter single-pass partitioner.  Same determinism guarantees as
+    ``louvain``; labels normalized to min member id."""
+    return louvain(edges, resolution=resolution, max_levels=1, max_passes=max_passes)

@@ -224,3 +224,186 @@ def predict_with_model(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+@ray.remote
+def _tree_minmax(t: pa.Table, feat_cols: list):
+    X = np.column_stack(
+        [t.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in feat_cols]
+    )
+    if len(X) == 0:
+        f = len(feat_cols)
+        return np.full(f, np.inf), np.full(f, -np.inf)
+    return X.min(axis=0), X.max(axis=0)
+
+
+@ray.remote
+def _tree_hist(t: pa.Table, feat_cols: list, label_col: str, classes: np.ndarray,
+               splits: dict, lo: np.ndarray, width: np.ndarray, n_bins: int,
+               node_ids: np.ndarray):
+    """Per-block histogram partials for one tree level: class counts per
+    (open node, feature, bin)."""
+    X = np.column_stack(
+        [t.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in feat_cols]
+    )
+    y = t.column(label_col).to_numpy(zero_copy_only=False)
+    yi = np.searchsorted(classes, y)
+    F = X.shape[1]
+    K = len(classes)
+    # route rows through the current tree
+    node = np.zeros(len(X), dtype=np.int64)
+    changed = True
+    while changed:
+        changed = False
+        for nid, (feat, thr) in splits.items():
+            m = node == nid
+            if m.any():
+                node[m] = np.where(X[m, feat] <= thr, 2 * nid + 1, 2 * nid + 2)
+                changed = True
+    out = {}
+    for nid in node_ids.tolist():
+        m = node == nid
+        if not m.any():
+            out[nid] = np.zeros((F, n_bins, K), dtype=np.int64)
+            continue
+        Xm, ym = X[m], yi[m]
+        h = np.zeros((F, n_bins, K), dtype=np.int64)
+        for f in range(F):
+            b = np.clip(((Xm[:, f] - lo[f]) / width[f]).astype(np.int64), 0, n_bins - 1)
+            np.add.at(h[f], (b, ym), 1)
+        out[nid] = h
+    return out
+
+
+def _gini_best_split(hist: np.ndarray) -> tuple:
+    """hist: (F, bins, K) class counts at one node → (gain, feature, bin)
+    with deterministic tie-breaks (lowest feature, lowest bin)."""
+    F, B, K = hist.shape
+    total = hist.sum(axis=(0, 1)) // F  # per-class counts (same per feature)
+    n = total.sum()
+    if n == 0:
+        return 0.0, -1, -1
+    gini_parent = 1.0 - ((total / n) ** 2).sum()
+    best = (0.0, -1, -1)
+    for f in range(F):
+        cum = np.cumsum(hist[f], axis=0)  # (bins, K) left counts
+        nl = cum.sum(axis=1)
+        nr = n - nl
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gl = 1.0 - np.where(nl[:, None] > 0, cum / np.maximum(nl[:, None], 1), 0).__pow__(2).sum(axis=1)
+            right = total[None, :] - cum
+            gr = 1.0 - np.where(nr[:, None] > 0, right / np.maximum(nr[:, None], 1), 0).__pow__(2).sum(axis=1)
+        gain = gini_parent - (nl * gl + nr * gr) / n
+        gain[(nl == 0) | (nr == 0)] = 0.0
+        b = int(np.argmax(gain[:-1])) if B > 1 else 0  # last bin → empty right
+        if B > 1 and gain[b] > best[0] + 1e-12:
+            best = (float(gain[b]), f, b)
+    return best
+
+
+def train_decision_tree(
+    ds: Dataset,
+    feature_cols: list,
+    label_col: str,
+    max_depth: int = 4,
+    n_bins: int = 32,
+    min_gain: float = 1e-6,
+) -> dict:
+    """Deterministic histogram-based CART
+    (TrainDecisionTreeClassifier.scala:44 analog): per-level, every block
+    contributes (node × feature × bin × class) count partials — driver
+    traffic is histograms, never rows; splits picked by Gini gain with
+    pinned tie-breaks.  Returns {"splits": {node: (feat, thr)},
+    "leaves": {node: class}, "classes": [...], "features": [...]}"""
+    blocks = ds.select_columns(list(feature_cols) + [label_col]).materialize().to_arrow_refs()
+    # classes (assumed driver-small) + feature ranges
+    classes = np.unique(
+        np.concatenate(ray.get([_tree_classes.remote(b, label_col) for b in blocks]))
+    )
+    mm = ray.get([_tree_minmax.remote(b, list(feature_cols)) for b in blocks])
+    lo = np.min([p[0] for p in mm], axis=0)
+    hi = np.max([p[1] for p in mm], axis=0)
+    width = np.maximum((hi - lo) / n_bins, 1e-12)
+
+    splits: dict = {}
+    leaves: dict = {}
+    open_nodes = np.array([0], dtype=np.int64)
+    for depth in range(max_depth):
+        if len(open_nodes) == 0:
+            break
+        parts = ray.get(
+            [
+                _tree_hist.remote(
+                    b, list(feature_cols), label_col, classes, splits, lo, width,
+                    n_bins, open_nodes,
+                )
+                for b in blocks
+            ]
+        )
+        next_open = []
+        for nid in open_nodes.tolist():
+            hist = np.sum([p[nid] for p in parts], axis=0)
+            counts = hist.sum(axis=(0, 1)) // max(len(feature_cols), 1)
+            gain, f, b = _gini_best_split(hist)
+            if gain <= min_gain or depth == max_depth - 1:
+                leaves[nid] = int(classes[int(np.argmax(counts))]) if counts.sum() else int(classes[0])
+                continue
+            thr = float(lo[f] + (b + 1) * width[f])
+            splits[nid] = (f, thr)
+            next_open.extend([2 * nid + 1, 2 * nid + 2])
+        open_nodes = np.array(next_open, dtype=np.int64)
+    # any still-open nodes at the end become majority leaves of parent side
+    return {
+        "splits": splits,
+        "leaves": leaves,
+        "classes": classes.tolist(),
+        "features": list(feature_cols),
+    }
+
+
+@ray.remote
+def _tree_classes(t: pa.Table, label_col: str):
+    return np.unique(t.column(label_col).to_numpy(zero_copy_only=False))
+
+
+class DecisionTreeScorer:
+    """Actor-pool scoring stage for the CART model (ClassifyWithModel
+    slot: tree fetched once per actor)."""
+
+    def __init__(self, model_ref, id_col: str, out: str = "prediction"):
+        self.model = ray.get(model_ref)
+        self.id_col = id_col
+        self.out = out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = self.model
+        X = np.column_stack(
+            [
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in m["features"]
+            ]
+        )
+        node = np.zeros(len(X), dtype=np.int64)
+        changed = True
+        while changed:
+            changed = False
+            for nid, (f, thr) in m["splits"].items():
+                msk = node == nid
+                if msk.any():
+                    node[msk] = np.where(X[msk, f] <= thr, 2 * nid + 1, 2 * nid + 2)
+                    changed = True
+        pred = np.zeros(len(X), dtype=np.int64)
+        for nid, cls in m["leaves"].items():
+            pred[node == nid] = cls
+        return pa.table({self.id_col: t.column(self.id_col), self.out: pred})
+
+
+def classify_with_tree(ds: Dataset, model: dict, id_col: str, concurrency: int = 2) -> Dataset:
+    ref = ray.put(model)
+    return ds.map_batches(
+        DecisionTreeScorer,
+        fn_constructor_args=(ref, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

@@ -117,3 +117,65 @@ def lineage_key(*parts) -> str:
         h.update(repr(p).encode())
         h.update(b"\x00")
     return h.hexdigest()
+
+
+class SnapshotStore:
+    """SaveTable / GUID-store analog (SaveTable.scala:24; EntityIO.scala:
+    99-110 skip-if-exists semantics): tables are persisted under a
+    content key — (name, lineage) — and a second save with the same key is
+    a no-op, so re-running a pipeline reuses every already-computed
+    snapshot exactly like the reference's GUID-addressed entity store.
+
+    Layout:  <root>/<name>/<lineage>/part-*.parquet + _SUCCESS
+    Writes are atomic (tmp dir + os.replace)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str, lineage: str) -> str:
+        return os.path.join(self.root, name, lineage)
+
+    def exists(self, name: str, lineage: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(name, lineage), "_SUCCESS"))
+
+    def save(self, ds, name: str, lineage: str) -> str:
+        """Persist a Dataset (or Arrow table). Skips when the snapshot
+        already exists; returns the snapshot directory."""
+        final = self._dir(name, lineage)
+        if self.exists(name, lineage):
+            return final
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        if isinstance(ds, pa.Table):
+            pq.write_table(ds, os.path.join(tmp, "part-00000.parquet"))
+        else:
+            ds.write_parquet(tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("")
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        return final
+
+    def load(self, name: str, lineage: str):
+        """Returns the snapshot as a Ray Dataset, or None when absent."""
+        if not self.exists(name, lineage):
+            return None
+        import ray.data as rd
+
+        d = self._dir(name, lineage)
+        files = [
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+        return rd.read_parquet(files)
+
+    def save_or_load(self, name: str, lineage: str, compute):
+        """GUID-store idiom: return the cached snapshot if present, else
+        run ``compute()`` (→ Dataset), persist, and return the reloaded
+        snapshot."""
+        cached = self.load(name, lineage)
+        if cached is not None:
+            return cached
+        self.save(compute(), name, lineage)
+        return self.load(name, lineage)

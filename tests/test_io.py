@@ -76,3 +76,73 @@ def test_make_symmetric_min_matched_pairs():
     )
     out = sorted((r["src"], r["dst"]) for r in make_symmetric(ds).take_all())
     assert out == [(0, 1), (1, 0)]
+
+
+def test_snapshot_store_skip_if_exists(tmp_path):
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.state.checkpoint import SnapshotStore, lineage_key
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    t = pa.table({"a": np.arange(100, dtype=np.int64)})
+    lin = lineage_key("test-table", 100)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return rd.from_arrow(t)
+
+    out1 = store.save_or_load("mytab", lin, compute)
+    assert sorted(r["a"] for r in out1.take_all()) == list(range(100))
+    assert store.exists("mytab", lin)
+    d = store._dir("mytab", lin)
+    mtime = max(
+        __import__("os").path.getmtime(__import__("os").path.join(d, f))
+        for f in __import__("os").listdir(d)
+    )
+    time.sleep(0.05)
+    out2 = store.save_or_load("mytab", lin, compute)
+    assert len(calls) == 1  # second call reused the snapshot
+    mtime2 = max(
+        __import__("os").path.getmtime(__import__("os").path.join(d, f))
+        for f in __import__("os").listdir(d)
+    )
+    assert mtime2 == mtime  # untouched on disk
+    assert sorted(r["a"] for r in out2.take_all()) == list(range(100))
+    # different lineage → recompute
+    store.save_or_load("mytab", lineage_key("test-table", 101), compute)
+    assert len(calls) == 2
+
+
+def test_csv_json_export_roundtrip(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.sources.io import read_table, write_csv, write_json
+
+    t = pa.table(
+        {
+            "k": np.arange(50, dtype=np.int64),
+            "v": (np.arange(50) * 0.5).astype(np.float64),
+            "s": [f"row{i}" for i in range(50)],
+        }
+    )
+    ds = rd.from_arrow(t)
+    cdir = str(tmp_path / "csv_out")
+    jdir = str(tmp_path / "json_out")
+    write_csv(ds, cdir)
+    write_json(ds, jdir)
+
+    back_csv = read_table(cdir, "csv").to_pandas().sort_values("k").reset_index(drop=True)
+    back_json = read_table(jdir, "json").to_pandas().sort_values("k").reset_index(drop=True)
+    ref = t.to_pandas().sort_values("k").reset_index(drop=True)
+    assert back_csv["k"].tolist() == ref["k"].tolist()
+    assert back_csv["s"].tolist() == ref["s"].tolist()
+    assert np.allclose(back_csv["v"], ref["v"])
+    assert back_json["k"].tolist() == ref["k"].tolist()
+    assert np.allclose(back_json["v"], ref["v"])

@@ -332,3 +332,29 @@ def test_linear_and_logistic_trainers():
     # deterministic
     b3 = train_logistic_regression(ds2, ["x1", "x2"], "lab", iterations=120, lr=2.0)
     assert np.array_equal(b2, b3)
+
+
+def test_decision_tree_trainer_axis_aligned():
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import classify_with_tree, train_decision_tree
+
+    rng = np.random.default_rng(97)
+    n = 12_000
+    x1 = rng.uniform(0, 1, n)
+    x2 = rng.uniform(0, 1, n)
+    # axis-aligned AND target (greedy Gini learns it at depth 2; exact
+    # balanced XOR has zero root gain for ANY split — inherent to CART)
+    lab = ((x1 > 0.3) & (x2 > 0.6)).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"id": np.arange(n), "x1": x1, "x2": x2, "lab": lab})
+    ).repartition(6)
+    model = train_decision_tree(ds, ["x1", "x2"], "lab", max_depth=3)
+    preds = {
+        r["id"]: r["prediction"]
+        for r in classify_with_tree(ds, model, "id").take_all()
+    }
+    acc = np.mean([preds[i] == lab[i] for i in range(n)])
+    assert acc > 0.95
+    model2 = train_decision_tree(ds, ["x1", "x2"], "lab", max_depth=3)
+    assert model == model2  # deterministic
