@@ -511,6 +511,16 @@ def _q_logistic_scores(sf_dir: str):
     )
 
 
+def _q_pso_degrees(sf_dir: str):
+    """PSOGenerator.scala:49 analog — degree table of the deterministic
+    hyperbolic popularity×similarity graph; rows-only (power-law +
+    determinism asserted in pytest)."""
+    from lynxkite_ray.sources.generators import pso_edges
+    from lynxkite_ray.stages.edges import out_degree
+
+    return out_degree(pso_edges(3000, m=2, seed=3))
+
+
 def _q_decision_tree(sf_dir: str):
     """TrainDecisionTreeClassifier.scala:44 analog — histogram-CART on
     lineitem (price-band from quantity), scored by the actor-pool stage.
@@ -606,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_histogram": _q_sampled_histogram,
         "elementwise_mean": _q_elementwise_mean,
         "scale_free_degrees": _q_scale_free,
+        "pso_degrees": _q_pso_degrees,
         "linear_regression": _q_linear_regression,
         "logistic_scores": _q_logistic_scores,
         "decision_tree_scores": _q_decision_tree,

@@ -29,7 +29,10 @@ from ray.data import Dataset
 from ...context import LOCAL_EDGE_THRESHOLD
 from ...stages.edges import canonical_edges
 
-_WEDGE_CHUNK_EDGES = 100_000
+# 40k edges/chunk: at copurchase-graph density the wedge kernel is the
+# whole cost of triangle counting, and m/chunk tasks must exceed the CPU
+# count to use the machine (100k left only ~12 tasks for 1.2M edges)
+_WEDGE_CHUNK_EDGES = 40_000
 
 
 def _orient_csr(s: np.ndarray, d: np.ndarray):

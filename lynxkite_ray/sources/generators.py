@@ -65,3 +65,60 @@ def scale_free_edges(
         return pa.table({"src": src[keep], "dst": dst[keep]})
 
     return rd.range(n_edges).map_batches(gen, batch_format="pyarrow")
+
+
+@ray.remote
+def _pso_range(lo: int, hi: int, r: np.ndarray, theta: np.ndarray, m: int, beta: float):
+    """Edges for nodes [lo, hi): each node t connects to the m
+    hyperbolically closest earlier nodes (popularity × similarity
+    optimization, Papadopoulos et al. 2012).  Earlier-node radii are drifted
+    r_s(t) = beta·r_s + (1−beta)·r_t (popularity fading), distance
+    x = r_s(t) + r_t + ln(Δθ/2) — all vectorized per node."""
+    out_src, out_dst = [], []
+    for t in range(lo, hi):
+        if t == 0:
+            continue
+        k = min(m, t)
+        rs = beta * r[:t] + (1.0 - beta) * r[t]
+        dth = np.abs(theta[:t] - theta[t])
+        dth = np.minimum(dth, 2 * np.pi - dth)
+        x = rs + r[t] + np.log(np.maximum(dth, 1e-12) / 2.0)
+        sel = np.argpartition(x, k - 1)[:k] if k < t else np.arange(t)
+        # deterministic order: by (distance, id)
+        sel = sel[np.lexsort((sel, x[sel]))][:k]
+        out_src.extend([t] * len(sel))
+        out_dst.extend(sel.tolist())
+    return pa.table(
+        {
+            "src": pa.array(out_src, pa.int64()),
+            "dst": pa.array(out_dst, pa.int64()),
+        }
+    )
+
+
+def pso_edges(n_vertices: int, m: int = 2, beta: float = 0.5, seed: int = 3,
+              chunk: int = 2_000):
+    """PSOGenerator.scala:49 / HyperMap.scala:32 analog: hyperbolic
+    popularity × similarity graph.  Radii are the deterministic
+    r_t = 2·ln(t+1); angles come from hashed uniforms, so every edge is a
+    pure function of (seed, node index) — node ranges generate in parallel
+    against one broadcast (r, θ) pair (O(V) driver state, same regime as
+    the dense Graph handle).  Produces the model's power-law degrees +
+    high clustering."""
+    import ray.data as rd
+
+    t_idx = np.arange(n_vertices, dtype=np.float64)
+    r = 2.0 * np.log(t_idx + 1.0)
+    h = (
+        (np.arange(n_vertices, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         + np.uint64(seed))
+        * np.uint64(0xBF58476D1CE4E5B9)
+    )
+    theta = ((h >> np.uint64(11)).astype(np.float64) / float(1 << 53)) * 2 * np.pi
+    r_ref = ray.put(r)
+    th_ref = ray.put(theta)
+    tasks = [
+        _pso_range.remote(lo, min(lo + chunk, n_vertices), r_ref, th_ref, m, beta)
+        for lo in range(0, n_vertices, chunk)
+    ]
+    return rd.from_arrow_refs(tasks)

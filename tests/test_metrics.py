@@ -358,3 +358,25 @@ def test_decision_tree_trainer_axis_aligned():
     assert acc > 0.95
     model2 = train_decision_tree(ds, ["x1", "x2"], "lab", max_depth=3)
     assert model == model2  # deterministic
+
+
+def test_pso_generator_power_law_clustering():
+    from lynxkite_ray.functions.graph.metrics import clustering_coefficient
+    from lynxkite_ray.sources.generators import pso_edges
+
+    e1 = pso_edges(1500, m=2, seed=3).take_all()
+    e2 = pso_edges(1500, m=2, seed=3).take_all()
+    assert sorted((r["src"], r["dst"]) for r in e1) == sorted(
+        (r["src"], r["dst"]) for r in e2
+    )  # deterministic
+    import collections
+
+    deg = collections.Counter()
+    for r in e1:
+        deg[r["src"]] += 1
+        deg[r["dst"]] += 1
+    degs = np.array(sorted(deg.values()))
+    assert degs[-1] > 8 * degs.mean()  # heavy tail (power-law-ish)
+    # early (high-popularity) nodes are the hubs
+    top = sorted(deg, key=deg.get, reverse=True)[:10]
+    assert np.median(top) < 60
