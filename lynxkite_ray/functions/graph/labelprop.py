@@ -47,6 +47,39 @@ def _pick_labels(di: np.ndarray, lab: np.ndarray, w: np.ndarray, V: int) -> tupl
 
 
 @ray.remote
+def _lp_merge(*parts):
+    """Tree-combine level for (tgt, msg, Σw) triples: concatenate a group
+    of per-shard partials and re-segment-sum — keeps the per-iteration
+    driver merge O(final triples), not O(shards × triples)."""
+    tgt = np.concatenate([p[0] for p in parts])
+    msg = np.concatenate([p[1] for p in parts])
+    ww = np.concatenate([p[2] for p in parts])
+    if len(tgt) == 0:
+        return tgt, msg, ww
+    order = np.lexsort((msg, tgt))
+    t, m, x = tgt[order], msg[order], ww[order]
+    bound = np.empty(len(t), dtype=bool)
+    bound[0] = True
+    bound[1:] = (t[1:] != t[:-1]) | (m[1:] != m[:-1])
+    starts = np.flatnonzero(bound)
+    return t[starts], m[starts], np.add.reduceat(x, starts)
+
+
+def _lp_tree_combine(futures, branch: int = 4):
+    level = list(futures)
+    while len(level) > branch:
+        level = [
+            _lp_merge.remote(*level[i : i + branch])
+            for i in range(0, len(level), branch)
+        ]
+    parts = ray.get(level)
+    tgt = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    msg = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    ww = np.concatenate([p[2] for p in parts]) if parts else np.empty(0)
+    return tgt, msg, ww
+
+
+@ray.remote
 def _lp_messages(shard: pa.Table, lab: np.ndarray):
     """Per-shard partial: undirected messages (neighbor → vertex), combined
     locally to (vertex, label) → Σw triples (map-side combine)."""
@@ -227,10 +260,8 @@ def label_propagation(
 
     for it in range(start, iterations):
         lab_ref = ray.put(label)
-        parts = ray.get([_lp_messages.remote(s, lab_ref) for s in graph.shard_refs])
-        tgt = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-        msg = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
-        ww = np.concatenate([p[2] for p in parts]) if parts else np.empty(0)
+        futures = [_lp_messages.remote(s, lab_ref) for s in graph.shard_refs]
+        tgt, msg, ww = _lp_tree_combine(futures)
         verts, winners = _pick_labels(tgt, msg, ww, V)
         nxt = label.copy()
         nxt[verts] = winners
