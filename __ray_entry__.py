@@ -511,6 +511,39 @@ def _q_logistic_scores(sf_dir: str):
     )
 
 
+def _q_majority_priority(sf_dir: str):
+    """Aggregate.scala Majority(0.5) — per customer, the order priority on
+    a strict majority of their orders (else NULL)."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import Majority
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    return orders.groupby("o_custkey").aggregate(
+        Majority("o_orderpriority", 0.5, alias_name="majority_priority")
+    )
+
+
+MAJORITY_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderpriority AS v, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT o_custkey, SUM(n) AS t FROM c GROUP BY 1),
+best AS (
+  SELECT o_custkey, v, n,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY n DESC, v ASC) AS rn
+  FROM c
+)
+SELECT b.o_custkey,
+       CASE WHEN b.n > 0.5 * tot.t THEN b.v END AS majority_priority
+FROM best b JOIN tot ON tot.o_custkey = b.o_custkey
+WHERE b.rn = 1
+"""
+
+
 def _q_pso_degrees(sf_dir: str):
     """PSOGenerator.scala:49 analog — degree table of the deterministic
     hyperbolic popularity×similarity graph; rows-only (power-law +
@@ -617,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elementwise_mean": _q_elementwise_mean,
         "scale_free_degrees": _q_scale_free,
         "pso_degrees": _q_pso_degrees,
+        "majority_priority": _q_majority_priority,
         "linear_regression": _q_linear_regression,
         "logistic_scores": _q_logistic_scores,
         "decision_tree_scores": _q_decision_tree,
@@ -704,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
     rel = {
         "elementwise_mean": ELEMENTWISE_SQL,
         "linear_regression": LINREG_SQL,
+        "majority_priority": MAJORITY_SQL,
         "edges_from_segmentation": SG.EDGES_FROM_SEG_SQL,
         "combine_segmentations": SG.COMBINE_SEG_SQL,
         "merge_vertices_full": SG.MERGE_FULL_SQL,

@@ -82,6 +82,24 @@ class MostCommon(AggregateFnV2):
         return min(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
 
 
+class Majority(MostCommon):
+    """Aggregate.scala Majority(fraction): the value held by MORE than
+    ``fraction`` of the group's rows, else None (the reference leaves the
+    attribute undefined)."""
+
+    def __init__(self, on: str, fraction: float = 0.5, alias_name: str | None = None):
+        super().__init__(on, alias_name or f"majority({on})")
+        self._fraction = fraction
+
+    def finalize(self, acc):
+        acc = self._to_counter(acc)
+        if not acc:
+            return None
+        total = sum(acc.values())
+        val, cnt = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return val if cnt > self._fraction * total else None
+
+
 class FirstBy(AggregateFnV2):
     """Value of ``on`` at the smallest ``order_col`` in the group —
     deterministic First (Aggregate.scala First is partition-order dependent;

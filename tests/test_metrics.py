@@ -380,3 +380,26 @@ def test_pso_generator_power_law_clustering():
     # early (high-popularity) nodes are the hubs
     top = sorted(deg, key=deg.get, reverse=True)[:10]
     assert np.median(top) < 60
+
+
+def test_majority_aggregator():
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import Majority
+
+    t = pa.table(
+        {
+            "g": [1, 1, 1, 2, 2, 2, 3, 3],
+            "v": ["a", "a", "b", "x", "y", "z", "m", "m"],
+        }
+    )
+    rows = {
+        r["g"]: r["maj"]
+        for r in rd.from_arrow(t)
+        .groupby("g")
+        .aggregate(Majority("v", 0.5, alias_name="maj"))
+        .take_all()
+    }
+    assert rows[1] == "a"      # 2/3 > 0.5
+    assert rows[2] is None     # 1/3 each — no majority
+    assert rows[3] == "m"      # 2/2
