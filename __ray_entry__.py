@@ -544,6 +544,28 @@ WHERE b.rn = 1
 """
 
 
+def _q_order_part_sets(sf_dir: str):
+    """AsSet/Concatenate aggregators (Aggregate.scala) — per order, the
+    sorted distinct part keys as one joined string (the deterministic
+    normal form of the reference's set-valued aggregates)."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import as_set_concat
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return as_set_concat(li, "l_orderkey", "l_partkey", out="parts")
+
+
+AS_SET_SQL = """
+SELECT l_orderkey,
+       string_agg(DISTINCT CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY CAST(l_partkey AS VARCHAR)) AS parts
+FROM lineitem GROUP BY 1
+"""
+
+
 def _q_pso_degrees(sf_dir: str):
     """PSOGenerator.scala:49 analog — degree table of the deterministic
     hyperbolic popularity×similarity graph; rows-only (power-law +
@@ -651,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scale_free_degrees": _q_scale_free,
         "pso_degrees": _q_pso_degrees,
         "majority_priority": _q_majority_priority,
+        "order_part_sets": _q_order_part_sets,
         "linear_regression": _q_linear_regression,
         "logistic_scores": _q_logistic_scores,
         "decision_tree_scores": _q_decision_tree,
@@ -739,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "elementwise_mean": ELEMENTWISE_SQL,
         "linear_regression": LINREG_SQL,
         "majority_priority": MAJORITY_SQL,
+        "order_part_sets": AS_SET_SQL,
         "edges_from_segmentation": SG.EDGES_FROM_SEG_SQL,
         "combine_segmentations": SG.COMBINE_SEG_SQL,
         "merge_vertices_full": SG.MERGE_FULL_SQL,

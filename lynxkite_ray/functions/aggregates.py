@@ -353,3 +353,47 @@ def sampled_histogram(
         ),
         batch_format="pyarrow",
     )
+
+
+def as_set_concat(
+    ds: Dataset, key: str, value_col: str, out: str = "values", sep: str = ","
+) -> Dataset:
+    """AsSet / Concatenate aggregator family (Aggregate.scala:316-560):
+    per key, the SORTED DISTINCT values joined into one string — the
+    deterministic, SQL-mirrorable normal form of the reference's
+    set/vector-valued aggregates.  One key shuffle; groups are
+    block-complete afterwards, so the join-up is a per-block pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.shuffle import COALESCE_BATCH, hash_partition
+
+    part = hash_partition(ds.select_columns([key, value_col]), [key])
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()), out: pa.array([], pa.string())}
+            )
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = np.asarray(
+            [str(x) for x in t.column(value_col).to_pylist()], dtype=object
+        )
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        keep = np.empty(len(k), dtype=bool)
+        keep[0] = True
+        keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        k, v = k[keep], v[keep]
+        bound = np.empty(len(k), dtype=bool)
+        bound[0] = True
+        bound[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(bound)
+        stops = np.append(starts[1:], len(k))
+        keys_out = k[starts]
+        vals_out = [sep.join(v[a:b]) for a, b in zip(starts, stops)]
+        return pa.table({key: keys_out, out: pa.array(vals_out, pa.string())})
+
+    return part.map_batches(
+        body, batch_format="pyarrow", zero_copy_batch=True, batch_size=COALESCE_BATCH
+    )
