@@ -431,6 +431,26 @@ def _q_elementwise_mean(sf_dir: str):
     )
 
 
+def _q_elementwise_max(sf_dir: str):
+    """Elementwise vector max per group (ElementwiseMax analog)."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import elementwise_agg
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return elementwise_agg(
+        emb, lambda t: t.column("vec_id").to_numpy() % 10, "embedding", op="max"
+    )
+
+
+ELEMENTWISE_MAX_SQL = """
+WITH x AS (SELECT vec_id % 10 AS grp, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT grp, unnest(emb) AS val, generate_subscripts(emb, 1) - 1 AS idx FROM x)
+SELECT grp, idx, ROUND(MAX(val), 6) AS max_val
+FROM u GROUP BY 1, 2
+"""
+
+
 ELEMENTWISE_SQL = """
 WITH x AS (SELECT vec_id % 10 AS grp, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 u AS (SELECT grp, unnest(emb) AS val, generate_subscripts(emb, 1) - 1 AS idx FROM x)
@@ -670,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_cliques": _q_max_cliques,
         "sampled_histogram": _q_sampled_histogram,
         "elementwise_mean": _q_elementwise_mean,
+        "elementwise_max": _q_elementwise_max,
         "scale_free_degrees": _q_scale_free,
         "pso_degrees": _q_pso_degrees,
         "majority_priority": _q_majority_priority,
@@ -760,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
 
     rel = {
         "elementwise_mean": ELEMENTWISE_SQL,
+        "elementwise_max": ELEMENTWISE_MAX_SQL,
         "linear_regression": LINREG_SQL,
         "majority_priority": MAJORITY_SQL,
         "order_part_sets": AS_SET_SQL,

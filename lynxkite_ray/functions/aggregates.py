@@ -241,6 +241,60 @@ def global_stats(ds: Dataset, col: str) -> dict:
     return dict(row)
 
 
+def elementwise_agg(
+    ds: Dataset, key_expr, vec_col: str, op: str = "mean",
+    key_name: str = "grp", out: str | None = None
+) -> Dataset:
+    """Elementwise vector aggregates (Elementwise{Average,Min,Max,Sum},
+    Aggregate.scala:316-560) in long form: (key, idx, value).  Same
+    per-batch (groups × dim) partial-combine shape as elementwise_mean."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.shuffle import grouped_aggregate
+    from ..util import round_away
+
+    out = out or f"{op}_val"
+    reducer = {"min": np.minimum, "max": np.maximum}[op] if op in ("min", "max") else None
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = key_expr(t)
+        col = t.column(vec_col).combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            V = col.flatten().to_numpy(zero_copy_only=False).reshape(t.num_rows, col.type.list_size)
+        else:
+            V = np.array(col.to_pylist(), dtype=np.float64)
+        V = V.astype(np.float64)
+        dim = V.shape[1]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        if op in ("min", "max"):
+            init = np.inf if op == "min" else -np.inf
+            acc = np.full((len(uniq), dim), init)
+            ufunc = np.minimum if op == "min" else np.maximum
+            ufunc.at(acc, inv, V)
+        else:
+            acc = np.zeros((len(uniq), dim))
+            np.add.at(acc, inv, V)
+        g = np.repeat(uniq, dim)
+        idx = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table({key_name: g, "idx": idx, "pval": acc.ravel()})
+
+    p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        p, [key_name, "idx"], [("pval", "min" if op == "min" else ("max" if op == "max" else "sum"), "v")]
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                key_name: t[key_name],
+                "idx": t["idx"],
+                out: round_away(t.column("v").to_numpy(zero_copy_only=False), 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def elementwise_mean(
     ds: Dataset, key_expr, vec_col: str, key_name: str = "grp", out: str = "mean_val"
 ) -> Dataset:
