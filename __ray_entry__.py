@@ -558,7 +558,7 @@ best AS (
   FROM c
 )
 SELECT b.o_custkey,
-       CASE WHEN b.n > 0.5 * tot.t THEN b.v END AS majority_priority
+       CASE WHEN b.n >= 0.5 * tot.t THEN b.v END AS majority_priority
 FROM best b JOIN tot ON tot.o_custkey = b.o_custkey
 WHERE b.rn = 1
 """

@@ -60,6 +60,20 @@ def num_blocks_for(rows: int) -> int:
     return max(1, math.ceil(rows / ROWS_PER_BLOCK))
 
 
+def num_iter_shards(rows: int) -> int:
+    """Shard count for the pinned dense-iteration shards (Graph.from_edges).
+
+    Unlike storage blocks (fixed rows/block), iteration shards are re-scanned
+    every round, so per-task scheduling latency is paid iterations× — size the
+    fan-out to the cluster (2 waves per round) instead of the data, bounded by
+    a per-shard row cap so a shard always fits a worker's heap.  At 20M edges
+    on 32 CPUs this is 64 shards of ~312k rows instead of 100 of 200k: same
+    parallelism, ~40% fewer task launches per iteration."""
+    by_cluster = 2 * session_cpus()
+    by_memory = math.ceil(rows / 5_000_000)  # ≤ ~120 MB of (si, di, w) per shard
+    return max(1, min(num_blocks_for(rows), max(by_cluster, by_memory)))
+
+
 def session_cpus() -> int:
     import ray
 

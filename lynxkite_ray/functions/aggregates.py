@@ -83,9 +83,10 @@ class MostCommon(AggregateFnV2):
 
 
 class Majority(MostCommon):
-    """Aggregate.scala Majority(fraction): the value held by MORE than
-    ``fraction`` of the group's rows, else None (the reference leaves the
-    attribute undefined)."""
+    """Aggregate.scala:487-497 Majority(fraction): the mode if its count is
+    AT LEAST ``fraction`` of the group's rows, else None (the reference
+    returns "" — `count >= fraction * values.size`; >= not >, so
+    Majority(1.0), the FE's "all same" aggregation, can fire)."""
 
     def __init__(self, on: str, fraction: float = 0.5, alias_name: str | None = None):
         super().__init__(on, alias_name or f"majority({on})")
@@ -97,7 +98,7 @@ class Majority(MostCommon):
             return None
         total = sum(acc.values())
         val, cnt = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-        return val if cnt > self._fraction * total else None
+        return val if cnt >= self._fraction * total else None
 
 
 class FirstBy(AggregateFnV2):
@@ -377,6 +378,8 @@ def sampled_histogram(
 
     def bucketize(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[(v >= lo) & (v < hi)]  # exact-[lo, hi) semantics: out-of-range
+        # rows are dropped, not absorbed into the edge buckets
         b = np.clip(((v - lo) / width).astype(np.int64), 0, buckets - 1)
         cnt = np.bincount(b, minlength=buckets)
         return pa.table(

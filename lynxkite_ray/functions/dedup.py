@@ -589,9 +589,15 @@ def verify_pairs_jaccard(
     from the same join plan as jaccard_pairs.  Nothing corpus-sized is
     broadcast or collected."""
     from ..stages.join import SEMI_BROADCAST_LIMIT, semi_join
-    from ..stages.shuffle import grouped_aggregate
+    from ..stages.shuffle import distinct, grouped_aggregate
 
-    pairs = pairs.materialize()
+    # Candidate pairs may repeat (cross-band LSH duplicates): on the join
+    # path each duplicate row would join the posting lists independently and
+    # the grouped 'common' sum would be multiplied by pair multiplicity
+    # (jaccard > 1, false positives).  Dedup before anything else.
+    pairs = distinct(
+        pairs.select_columns(["src", "dst"]), ["src", "dst"], num_partitions
+    ).materialize()
     if 2 * pairs.count() <= SEMI_BROADCAST_LIMIT:
         # endpoint set is provably small: collect it directly and filter by
         # a broadcast array — zero extra shuffles

@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ...context import DENSE_VERTEX_THRESHOLD, num_blocks_for
+from ...context import DENSE_VERTEX_THRESHOLD, num_blocks_for, num_iter_shards
 from ...state.checkpoint import lineage_key
 
 
@@ -329,7 +329,7 @@ class Graph:
         n_rows = mapped.count()  # metadata only, already materialized
         block_refs = mapped.to_arrow_refs()
         V = len(vids)
-        nshards = num_blocks_for(n_rows)
+        nshards = num_iter_shards(n_rows)
         if nshards <= 1 or not block_refs:
             shard_refs = [_assemble_shard.remote(*block_refs)] if block_refs else []
         else:

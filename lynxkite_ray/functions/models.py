@@ -258,7 +258,9 @@ def _tree_hist(t: pa.Table, feat_cols: list, label_col: str, classes: np.ndarray
         for nid, (feat, thr) in splits.items():
             m = node == nid
             if m.any():
-                node[m] = np.where(X[m, feat] <= thr, 2 * nid + 1, 2 * nid + 2)
+                # strict <: a value exactly at thr was binned right when the
+                # split gain was computed (bin b+1), so routing must match
+                node[m] = np.where(X[m, feat] < thr, 2 * nid + 1, 2 * nid + 2)
                 changed = True
     out = {}
     for nid in node_ids.tolist():
@@ -390,7 +392,7 @@ class DecisionTreeScorer:
             for nid, (f, thr) in m["splits"].items():
                 msk = node == nid
                 if msk.any():
-                    node[msk] = np.where(X[msk, f] <= thr, 2 * nid + 1, 2 * nid + 2)
+                    node[msk] = np.where(X[msk, f] < thr, 2 * nid + 1, 2 * nid + 2)
                     changed = True
         pred = np.zeros(len(X), dtype=np.int64)
         for nid, cls in m["leaves"].items():

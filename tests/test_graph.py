@@ -203,6 +203,25 @@ def test_lpa_matches_oracle_random(n, deg, seed, iters):
     assert labels.tolist() == [oracle[v] for v in g.vids]
 
 
+def test_lpa_distributed_matches_local():
+    """The LOCAL_EDGE_THRESHOLD gate: forcing the distributed shard loop
+    must reproduce the local numpy fallback bit-exactly (pinned tie-break)."""
+    import lynxkite_ray.functions.graph.labelprop as lp
+
+    edges, vertices = random_graph(200, 4, 77, weighted=True)
+    g = Graph.from_edges(
+        edges_ds(edges, weights=True), weight_col="weight", extra_vertices=np.arange(200)
+    )
+    local = label_propagation(g, iterations=4)
+    old = lp.LOCAL_EDGE_THRESHOLD
+    lp.LOCAL_EDGE_THRESHOLD = 0
+    try:
+        dist = label_propagation(g, iterations=4)
+    finally:
+        lp.LOCAL_EDGE_THRESHOLD = old
+    assert local.tolist() == dist.tolist()
+
+
 # --------------------------------------------------------------- Triangles
 
 

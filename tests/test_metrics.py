@@ -271,9 +271,8 @@ def test_sampled_histogram_tracks_exact():
         r["bucket"]: r["est_count"]
         for r in sampled_histogram(ds, "x", 0.0, 100.0, buckets=10, fraction=0.2).take_all()
     }
-    exact = np.bincount(
-        np.clip(((vals - 0.0) / 10.0).astype(int), 0, 9), minlength=10
-    )
+    inr = vals[(vals >= 0.0) & (vals < 100.0)]  # exact-[lo, hi) semantics
+    exact = np.bincount(((inr - 0.0) / 10.0).astype(int), minlength=10)
     for b in range(10):
         if exact[b] > 500:
             assert abs(est.get(b, 0) - exact[b]) / exact[b] < 0.15
