@@ -665,86 +665,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lynxkite_ray.pipelines import segmentation as SG
     from lynxkite_ray.pipelines import structure as ST
 
+    # Dict order is the driver's sampling order (it checks the first ~50 per
+    # round): queries with no CORRECTNESS row in the r01+r02 union come
+    # FIRST, then the ones whose implementation changed most recently, then
+    # the repeatedly-verified backbone.
     return {
-        # graph operators (co-purchase part graph)
-        "copurchase_edges": _q_edges,
-        "degree": _q_degree,
-        "pagerank": _q_pagerank,
-        "connected_components": _q_components,
-        "label_propagation": _q_lpa,
-        "triangle_count": _q_triangles,
-        "triangles_per_vertex": _q_triangles_per_vertex,
-        "in_degree": _q_in_degree,
-        "pagerank_weighted": _q_pagerank_weighted,
-        "neighbor_price_stats": _q_neighbor_price_stats,
-        "sample_customers": _q_sample_customers,
-        "random_walk_sample": _q_random_walk,
-        "snowball_sample": _q_snowball,
-        "approx_distinct_parts": _q_approx_distinct,
-        "hyperball_harmonic": _q_hyperball,
-        "louvain": _q_louvain,
-        "approx_embeddedness": _q_approx_embeddedness,
-        "approx_clustering_coefficient": _q_approx_clustering,
-        "dispersion": _q_dispersion,
-        "modular_partitioning": _q_modular_partitioning,
-        "max_cliques": _q_max_cliques,
-        "sampled_histogram": _q_sampled_histogram,
-        "elementwise_mean": _q_elementwise_mean,
-        "elementwise_max": _q_elementwise_max,
-        "scale_free_degrees": _q_scale_free,
-        "pso_degrees": _q_pso_degrees,
-        "majority_priority": _q_majority_priority,
-        "order_part_sets": _q_order_part_sets,
-        "linear_regression": _q_linear_regression,
-        "logistic_scores": _q_logistic_scores,
-        "decision_tree_scores": _q_decision_tree,
-        # relational operator battery
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "filter_project_revenue": R.filter_project_revenue,
-        "count_distinct_parts": R.count_distinct_parts_per_supplier,
-        "join_orders_customers": R.join_orders_customers,
-        "hash_join_supplier_nation": R.hash_join_supplier_nation,
-        "semi_join_building_orders": R.semi_join_building_orders,
-        "anti_join_customers_without_orders": R.anti_join_customers_without_orders,
-        "top_brands": R.top_brands,
-        "histogram_acctbal": R.histogram_acctbal,
-        "ranking_customers": R.ranking_customers,
-        "sort_limit_orders": R.sort_limit_orders,
-        "distinct_segments": R.distinct_segments,
-        "union_entity_keys": R.union_entity_keys,
-        "merge_by_segment": R.merge_by_segment,
-        "global_stats_acctbal": R.global_stats_acctbal,
-        "weighted_avg_price": R.weighted_avg_price,
-        "most_common_priority": R.most_common_priority,
-        "hash_supplier_names": R.hash_supplier_names,
-        "convert_floor_total": R.convert_floor_total,
-        "events_tumbling_hour": R.events_tumbling_hour,
-        "event_type_stats": R.event_type_stats,
-        "events_sessionize": R.events_sessionize,
-        # text / dedup / similarity suite
-        "text_stats": TX.q_text_stats,
-        "quality_signals": TX.q_quality,
-        "exact_dedup": TX.q_exact_dedup,
-        "jaccard_pairs": TX.q_jaccard_pairs,
-        "embedding_neardup": TX.q_embedding_neardup,
-        "ann_threshold": TX.q_ann_threshold,
-        "language_id": TX.q_language_id,
-        "fingerprints": TX.q_fingerprints,
-        "simhash": TX.q_simhash,
-        "minhash_dedup": TX.q_minhash_dedup,
-        "ann_topk": TX.q_ann_topk,
-        "ann_lsh": TX.q_ann_lsh,
-        "media_features": TX.q_media_features,
+        # --- never driver-checked through round 2 (union-coverage gap) ---
+        "pages_flagship": FS.q_pages_flagship,
+        "pages_extract_text": FS.q_pages_extract_text,
         "fingerprint_matching": TX.q_fingerprint_matching,
-        # segmentation battery (EdgesFromSegmentation / CombineSegmentations /
-        # MergeVertices full output / SegmentByEventSequence)
         "edges_from_segmentation": SG.q_edges_from_segmentation,
         "combine_segmentations": SG.q_combine_segmentations,
         "merge_vertices_full": SG.q_merge_vertices_full,
         "segment_by_event_sequence": SG.q_segment_by_event_sequence,
         "set_overlap": SG.q_set_overlap,
         "check_cliques": SG.q_check_cliques,
-        # structure transforms (directed precedence graph + subgraphs)
         "precedence_edges": ST.q_precedence_edges,
         "precedence_multiplicity": ST.q_precedence_multiplicity,
         "precedence_reversed": ST.q_precedence_reversed,
@@ -766,9 +701,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": ST.q_kmeans_clusters,
         "key_intersection": ST.q_key_intersection,
         "adjacency_lists": ST.q_adjacency_lists,
-        # pages flagship (north-star pipeline; rows-only — see pytest suite)
-        "pages_flagship": FS.q_pages_flagship,
-        "pages_extract_text": FS.q_pages_extract_text,
+        # --- implementation changed this round: re-verify ---
+        "majority_priority": _q_majority_priority,
+        "sampled_histogram": _q_sampled_histogram,
+        "decision_tree_scores": _q_decision_tree,
+        "label_propagation": _q_lpa,
+        "minhash_dedup": TX.q_minhash_dedup,
+        "jaccard_pairs": TX.q_jaccard_pairs,
+        "embedding_neardup": TX.q_embedding_neardup,
+        "ann_topk": TX.q_ann_topk,
+        "ann_lsh": TX.q_ann_lsh,
+        "fingerprints": TX.q_fingerprints,
+        "hash_join_supplier_nation": R.hash_join_supplier_nation,
+        "pagerank": _q_pagerank,
+        "connected_components": _q_components,
+        "louvain": _q_louvain,
+        "media_features": TX.q_media_features,
+        "copurchase_edges": _q_edges,
+        "events_tumbling_hour": R.events_tumbling_hour,
+        "event_type_stats": R.event_type_stats,
+        "events_sessionize": R.events_sessionize,
+        "exact_dedup": TX.q_exact_dedup,
+        # --- repeatedly-verified backbone ---
+        "degree": _q_degree,
+        "triangle_count": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "in_degree": _q_in_degree,
+        "pagerank_weighted": _q_pagerank_weighted,
+        "neighbor_price_stats": _q_neighbor_price_stats,
+        "sample_customers": _q_sample_customers,
+        "random_walk_sample": _q_random_walk,
+        "snowball_sample": _q_snowball,
+        "approx_distinct_parts": _q_approx_distinct,
+        "hyperball_harmonic": _q_hyperball,
+        "approx_embeddedness": _q_approx_embeddedness,
+        "approx_clustering_coefficient": _q_approx_clustering,
+        "dispersion": _q_dispersion,
+        "modular_partitioning": _q_modular_partitioning,
+        "max_cliques": _q_max_cliques,
+        "elementwise_mean": _q_elementwise_mean,
+        "elementwise_max": _q_elementwise_max,
+        "scale_free_degrees": _q_scale_free,
+        "pso_degrees": _q_pso_degrees,
+        "order_part_sets": _q_order_part_sets,
+        "linear_regression": _q_linear_regression,
+        "logistic_scores": _q_logistic_scores,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "filter_project_revenue": R.filter_project_revenue,
+        "count_distinct_parts": R.count_distinct_parts_per_supplier,
+        "join_orders_customers": R.join_orders_customers,
+        "semi_join_building_orders": R.semi_join_building_orders,
+        "anti_join_customers_without_orders": R.anti_join_customers_without_orders,
+        "top_brands": R.top_brands,
+        "histogram_acctbal": R.histogram_acctbal,
+        "ranking_customers": R.ranking_customers,
+        "sort_limit_orders": R.sort_limit_orders,
+        "distinct_segments": R.distinct_segments,
+        "union_entity_keys": R.union_entity_keys,
+        "merge_by_segment": R.merge_by_segment,
+        "global_stats_acctbal": R.global_stats_acctbal,
+        "weighted_avg_price": R.weighted_avg_price,
+        "most_common_priority": R.most_common_priority,
+        "hash_supplier_names": R.hash_supplier_names,
+        "convert_floor_total": R.convert_floor_total,
+        "text_stats": TX.q_text_stats,
+        "quality_signals": TX.q_quality,
+        "ann_threshold": TX.q_ann_threshold,
+        "language_id": TX.q_language_id,
+        "simhash": TX.q_simhash,
     }
 
 
