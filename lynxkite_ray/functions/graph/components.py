@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ...context import LOCAL_EDGE_THRESHOLD
+from ...context import LOCAL_EDGE_THRESHOLD, paused_gc
 from ...state.checkpoint import CheckpointManager, lineage_key
 from .core import Graph
 
@@ -220,32 +220,39 @@ def connected_components(
 
     rounds = 0
     it = start_round
-    while True:
-        lab_ref = ray.put(label)
-        futures = [shard_min.remote(s, lab_ref) for s in graph.shard_refs]
-        nxt = label.copy()
-        for lo, dvec, s_u, m_u in ray.get(futures):
-            if len(dvec):
-                np.minimum(nxt[lo : lo + len(dvec)], dvec, out=nxt[lo : lo + len(dvec)])
-            if len(s_u):
-                np.minimum.at(nxt, s_u, m_u)
+    with paused_gc():
         while True:
-            jumped = nxt[nxt]
-            if np.array_equal(jumped, nxt):
+            lab_ref = ray.put(label)
+            futures = [shard_min.remote(s, lab_ref) for s in graph.shard_refs]
+            nxt = label.copy()
+            for lo, dvec, s_u, m_u in ray.get(futures):
+                if len(dvec):
+                    np.minimum(
+                        nxt[lo : lo + len(dvec)], dvec, out=nxt[lo : lo + len(dvec)]
+                    )
+                if len(s_u):
+                    np.minimum.at(nxt, s_u, m_u)
+            while True:
+                jumped = nxt[nxt]
+                if np.array_equal(jumped, nxt):
+                    break
+                nxt = jumped
+            changed = int(np.count_nonzero(nxt != label))
+            label = nxt
+            if ckpt is not None:
+                ckpt.save(
+                    it,
+                    pa.table(
+                        {
+                            "id": graph.vids,
+                            "component": graph.vids[label],
+                            "_idx_label": label,
+                        }
+                    ),
+                    {"changed": changed, "round": rounds},
+                )
+            it += 1
+            rounds += 1
+            if changed == 0:
                 break
-            nxt = jumped
-        changed = int(np.count_nonzero(nxt != label))
-        label = nxt
-        if ckpt is not None:
-            ckpt.save(
-                it,
-                pa.table(
-                    {"id": graph.vids, "component": graph.vids[label], "_idx_label": label}
-                ),
-                {"changed": changed, "round": rounds},
-            )
-        it += 1
-        rounds += 1
-        if changed == 0:
-            break
     return graph.vids[label]

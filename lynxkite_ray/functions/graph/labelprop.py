@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ...context import LOCAL_EDGE_THRESHOLD
+from ...context import LOCAL_EDGE_THRESHOLD, paused_gc
 from ...state.checkpoint import CheckpointManager, lineage_key
 from .core import Graph
 
@@ -58,8 +58,10 @@ def _lpa_local(
 
 
 class _LocalLPA:
-    """One-time tgt-major edge layout + per-iteration step for the local
-    fallback (layout cost paid once, not per iteration).
+    """Per-iteration step for the local fallback.  No up-front edge layout:
+    the per-step sort of the packed (tgt·V + label) key already yields
+    tgt-major order, so pre-sorting by tgt would be pure overhead (it was —
+    one argsort + three gathers at init for no per-step saving).
 
     The sorts use quicksort, not stable/radix: equal (tgt, label) keys are
     interchangeable (their weights are summed), and int64 radix is 3x slower
@@ -68,13 +70,10 @@ class _LocalLPA:
 
     def __init__(self, si: np.ndarray, di: np.ndarray, w: np.ndarray, V: int):
         tgt = np.concatenate([di, si])
-        nbr = np.concatenate([si, di])
-        ww = np.concatenate([w, w])
-        order0 = np.argsort(tgt)  # intra-segment order is irrelevant
-        t = tgt[order0]
-        self.nbr, self.ww = nbr[order0], ww[order0]
+        self.nbr = np.concatenate([si, di])
+        self.ww = np.concatenate([w, w])
         self.use32 = V * V < 2**31
-        self.tgtV = (t * V).astype(np.int32) if self.use32 else t * V
+        self.tgtV = (tgt * V).astype(np.int32) if self.use32 else tgt * V
         self.V = V
 
     def step(self, label: np.ndarray) -> np.ndarray:
@@ -353,26 +352,27 @@ def label_propagation(
         si, di, w = graph.gather_edges()
         local = _LocalLPA(si, di, w, V)
 
-    for it in range(start, iterations):
-        if local is not None:
-            nxt = local.step(label)
-        else:
-            lab_ref = ray.put(label)
-            futures = [_lp_messages.remote(s, lab_ref) for s in graph.shard_refs]
-            tgt, msg, ww = _lp_tree_combine(futures)
-            verts, winners = _pick_labels(tgt, msg, ww, V)
-            nxt = label.copy()
-            nxt[verts] = winners
-        changed = int(np.count_nonzero(nxt != label))
-        label = nxt
-        if ckpt is not None:
-            ckpt.save(
-                it,
-                pa.table(
-                    {"id": graph.vids, "label": graph.vids[label], "_idx_label": label}
-                ),
-                {"changed": changed},
-            )
-        if changed == 0:
-            break
+    with paused_gc():
+        for it in range(start, iterations):
+            if local is not None:
+                nxt = local.step(label)
+            else:
+                lab_ref = ray.put(label)
+                futures = [_lp_messages.remote(s, lab_ref) for s in graph.shard_refs]
+                tgt, msg, ww = _lp_tree_combine(futures)
+                verts, winners = _pick_labels(tgt, msg, ww, V)
+                nxt = label.copy()
+                nxt[verts] = winners
+            changed = int(np.count_nonzero(nxt != label))
+            label = nxt
+            if ckpt is not None:
+                ckpt.save(
+                    it,
+                    pa.table(
+                        {"id": graph.vids, "label": graph.vids[label], "_idx_label": label}
+                    ),
+                    {"changed": changed},
+                )
+            if changed == 0:
+                break
     return graph.vids[label]

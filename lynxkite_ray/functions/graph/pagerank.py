@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ...context import paused_gc
 from ...state.checkpoint import CheckpointManager, lineage_key
 from .core import Graph
 
@@ -93,34 +94,35 @@ def pagerank(
             if m.get("metrics", {}).get("converged"):
                 return rank
 
-    for it in range(start_iter, iterations):
-        rank_ref = ray.put(rank)
-        futures = [
-            _pr_contrib.remote(s, rank_ref, inv_ref, damping, V)
-            for s in graph.shard_refs
-        ]
-        incoming = np.zeros(V, dtype=np.float64)
-        for lo, vec in ray.get(futures):
-            # ranges overlap only where one dst id straddles a shard
-            # boundary — += keeps those exact
-            incoming[lo : lo + len(vec)] += vec
-        total_incoming = float(incoming.sum())
-        new_rank = (V - total_incoming) / V + incoming
-        residual = float(np.max(np.abs(new_rank - rank))) if V else 0.0
-        rank = new_rank
-        converged = tol > 0 and residual < tol
-        if ckpt is not None:
-            ckpt.save(
-                it,
-                pa.table({"id": graph.vids, "rank": rank}),
-                {
-                    "residual": residual,
-                    "total_incoming": total_incoming,
-                    "converged": converged,
-                },
-            )
-        if converged:
-            break
+    with paused_gc():
+        for it in range(start_iter, iterations):
+            rank_ref = ray.put(rank)
+            futures = [
+                _pr_contrib.remote(s, rank_ref, inv_ref, damping, V)
+                for s in graph.shard_refs
+            ]
+            incoming = np.zeros(V, dtype=np.float64)
+            for lo, vec in ray.get(futures):
+                # ranges overlap only where one dst id straddles a shard
+                # boundary — += keeps those exact
+                incoming[lo : lo + len(vec)] += vec
+            total_incoming = float(incoming.sum())
+            new_rank = (V - total_incoming) / V + incoming
+            residual = float(np.max(np.abs(new_rank - rank))) if V else 0.0
+            rank = new_rank
+            converged = tol > 0 and residual < tol
+            if ckpt is not None:
+                ckpt.save(
+                    it,
+                    pa.table({"id": graph.vids, "rank": rank}),
+                    {
+                        "residual": residual,
+                        "total_incoming": total_incoming,
+                        "converged": converged,
+                    },
+                )
+            if converged:
+                break
     return rank
 
 
