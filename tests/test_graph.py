@@ -213,12 +213,12 @@ def test_lpa_distributed_matches_local():
         edges_ds(edges, weights=True), weight_col="weight", extra_vertices=np.arange(200)
     )
     local = label_propagation(g, iterations=4)
-    old = lp.LOCAL_EDGE_THRESHOLD
-    lp.LOCAL_EDGE_THRESHOLD = 0
+    old = lp.LPA_LOCAL_EDGES
+    lp.LPA_LOCAL_EDGES = 0
     try:
         dist = label_propagation(g, iterations=4)
     finally:
-        lp.LOCAL_EDGE_THRESHOLD = old
+        lp.LPA_LOCAL_EDGES = old
     assert local.tolist() == dist.tolist()
 
 
