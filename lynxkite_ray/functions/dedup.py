@@ -110,7 +110,11 @@ class MinHasher:
 
 
 def minhash_signatures(ds: Dataset, num_perm=128, shingle_k=3, seed=7,
-                       col="text", id_col="doc_id", concurrency=2) -> Dataset:
+                       col="text", id_col="doc_id", concurrency=None) -> Dataset:
+    if concurrency is None:
+        from ..context import pool_size
+
+        concurrency = pool_size()
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(

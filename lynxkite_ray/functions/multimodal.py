@@ -78,8 +78,12 @@ class MediaFeatureExtractor:
 
 
 def extract_media_features(
-    media: Dataset, *, batch_size: int = 64, concurrency=2
+    media: Dataset, *, batch_size: int = 64, concurrency=None
 ) -> Dataset:
+    if concurrency is None:
+        from ..context import pool_size
+
+        concurrency = pool_size()
     return media.map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",

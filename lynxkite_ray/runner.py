@@ -35,7 +35,10 @@ def _atomic_write_parquet(ds, path: str) -> int:
     tmp = path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp)
-    n = ds.count()
+    # count from footers, not ds.count() (which re-runs a lazy plan)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(tmp, format="parquet").count_rows()
     shutil.rmtree(path, ignore_errors=True)
     os.replace(tmp, path)
     return n

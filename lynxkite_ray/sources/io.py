@@ -98,7 +98,11 @@ def write_parquet_atomic(ds: Dataset, path: str, **kwargs) -> int:
     tmp = path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp, **kwargs)
-    n = ds.count()
+    # row count from the written footers — ds.count() on a lazy dataset
+    # would re-execute the whole plan (VERDICT r2 'What's wrong' #8)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(tmp, format="parquet").count_rows()
     shutil.rmtree(path, ignore_errors=True)
     os.replace(tmp, path)
     with open(os.path.join(path, "_SUCCESS"), "w") as f:
