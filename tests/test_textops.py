@@ -230,9 +230,59 @@ def test_embedding_neardup_distributed_matches_broadcast(monkeypatch):
     monkeypatch.setattr("lynxkite_ray.context.ROWS_PER_BLOCK", 64)
     got = {
         (r["src"], r["dst"]): r["cos"]
-        for r in D.embedding_neardup_pairs(ds, threshold=0.8).take_all()
+        for r in D.embedding_neardup_pairs(ds, threshold=0.8, exact=True).take_all()
     }
     assert got == ref and (40, 50) in got
+
+
+def test_embedding_neardup_lsh_default_scale(monkeypatch):
+    """Above EMB_BCAST_ROWS the DEFAULT path is banded LSH: planted twins
+    at 500k vectors are recovered with recall ≥ 0.95 and the candidate
+    work (Σ bucket² over all bands) stays far sub-quadratic."""
+    rng = np.random.default_rng(9)
+    n_base, n_twin, dim = 499_000, 1_000, 8
+    M = rng.standard_normal((n_base, dim))
+    twins = M[:n_twin] + 0.02 * rng.standard_normal((n_twin, dim))
+    all_vecs = np.concatenate([M, twins])
+    n = len(all_vecs)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(all_vecs.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+    )
+    # candidate work from the (deterministic) signature stage
+    sigs = D._emb_band_signatures(
+        ds, "embedding", "vec_id", D.EMB_LSH_BANDS, D.EMB_LSH_PLANES
+    )
+    keys = [
+        b["band"].to_numpy() * (1 << D.EMB_LSH_PLANES) + b["bucket"].to_numpy()
+        for b in sigs.select_columns(["band", "bucket"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    _, counts = np.unique(np.concatenate(keys), return_counts=True)
+    assert float((counts.astype(np.float64) ** 2).sum()) < n * n / 50
+
+    out = D.embedding_neardup_pairs(ds, threshold=0.95).take_all()
+    got = {(r["src"], r["dst"]) for r in out}
+    planted = {(i, n_base + i) for i in range(n_twin)}
+    # only count twins that are truly ≥ threshold (noise can push below)
+    Mn = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    truly = {
+        (i, n_base + i)
+        for i in range(n_twin)
+        if float(Mn[i] @ Mn[n_base + i]) >= 0.95
+    }
+    recall = len(got & truly) / max(1, len(truly))
+    assert recall >= 0.95, recall
+    # every reported pair is genuinely ≥ threshold (exact in-bucket verify)
+    for r in out[:200]:
+        assert r["cos"] >= 0.95 - 1e-6
 
 
 def test_jaccard_join_path_matches_broadcast(monkeypatch):
