@@ -57,6 +57,8 @@ def connected_components_dataset(
     num_partitions: int | None = None,
     max_rounds: int = 50,
     vertices=None,
+    checkpoint_root: str | None = None,
+    job: str = "cc_ds",
 ):
     """Arbitrary-scale Dataset-only components: labels never leave the
     Dataset plane (the beyond-DENSE_VERTEX_THRESHOLD path).
@@ -86,7 +88,29 @@ def connected_components_dataset(
         .materialize()
     )
 
-    for _ in range(max_rounds):
+    # distributed per-round checkpoint/resume (same protocol as the dense
+    # path, but blocks write straight from the Dataset plane)
+    ckpt = None
+    start_round = 0
+    if checkpoint_root is not None:
+        ckpt = CheckpointManager(
+            checkpoint_root,
+            job,
+            "cc-ds",
+            lineage_key("cc-ds", both.count(), max_rounds),
+        )
+        latest = ckpt.latest()
+        if latest is not None:
+            m = ckpt.manifest(latest)
+            if m.get("metrics", {}).get("changed") == 0:
+                return ckpt.load_dataset(latest).map_batches(
+                    lambda t: pa.table({"id": t["id"], "component": t["label"]}),
+                    batch_format="pyarrow",
+                )
+            labels = ckpt.load_dataset(latest).materialize()
+            start_round = latest + 1
+
+    for rnd in range(start_round, max_rounds):
         # hop: neighbor labels pushed along every (src → dst) direction
         msgs = both.join(
             labels.map_batches(
@@ -152,6 +176,8 @@ def connected_components_dataset(
             .count()
         )
         labels = jumped
+        if ckpt is not None:
+            ckpt.save_dataset(rnd, labels, {"changed": changed})
         if changed == 0:
             break
     return labels.map_batches(

@@ -251,6 +251,8 @@ def label_propagation_dataset(
     num_partitions: int | None = None,
     weight_col: str | None = None,
     vertices=None,
+    checkpoint_root: str | None = None,
+    job: str = "lpa_ds",
 ):
     """Arbitrary-scale Dataset-only LPA (same pinned semantics): per round,
     neighbor labels flow both directions → (vertex, label) weight sums via
@@ -296,6 +298,20 @@ def label_propagation_dataset(
         .materialize()
     )
 
+    ckpt = None
+    start_round = 0
+    if checkpoint_root is not None:
+        ckpt = CheckpointManager(
+            checkpoint_root,
+            job,
+            "lpa-ds",
+            lineage_key("lpa-ds", both.count(), iterations, weight_col),
+        )
+        latest = ckpt.latest()
+        if latest is not None:
+            labels = ckpt.load_dataset(latest).materialize()
+            start_round = latest + 1
+
     def pick(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
@@ -311,7 +327,7 @@ def label_propagation_dataset(
         first[1:] = v[1:] != v[:-1]
         return pa.table({"id": v[first], "label": lab[first]})
 
-    for _ in range(iterations):
+    for rnd in range(start_round, iterations):
         msgs = both.join(
             labels.map_batches(
                 lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow"
@@ -365,6 +381,8 @@ def label_propagation_dataset(
             .count()
         )
         labels = nxt
+        if ckpt is not None:
+            ckpt.save_dataset(rnd, labels, {"changed": changed})
         if changed == 0:
             break
     return labels

@@ -134,6 +134,8 @@ def pagerank_dataset(
     weight_col: str | None = None,
     hub_threshold: int | None = None,
     vertices=None,
+    checkpoint_root: str | None = None,
+    job: str = "pagerank_ds",
 ):
     """Arbitrary-scale Dataset-only PageRank: no dense vector anywhere.
 
@@ -216,6 +218,23 @@ def pagerank_dataset(
         batch_format="pyarrow",
     ).materialize()
 
+    # per-iteration distributed checkpoint/resume (north-rule lineage) —
+    # the (id, rank) Dataset writes its blocks straight to disk, so the
+    # V-beyond-dense regime resumes without the driver ever holding state
+    ckpt = None
+    start_iter = 0
+    if checkpoint_root is not None:
+        ckpt = CheckpointManager(
+            checkpoint_root,
+            job,
+            "pr-ds",
+            lineage_key("pr-ds", N, e.count(), damping, iterations, weight_col),
+        )
+        latest = ckpt.latest()
+        if latest is not None:
+            ranks = ckpt.load_dataset(latest).materialize()
+            start_iter = latest + 1
+
     from ...stages.shuffle import grouped_aggregate
 
     def _contrib_cols(t: pa.Table) -> pa.Table:
@@ -229,7 +248,7 @@ def pagerank_dataset(
             }
         )
 
-    for _ in range(iterations):
+    for it in range(start_iter, iterations):
         contrib = e_low.join(
             ranks.map_batches(
                 lambda t: t.rename_columns(["src", "rank"]), batch_format="pyarrow"
@@ -281,4 +300,8 @@ def pagerank_dataset(
             )
             .materialize()
         )
+        if ckpt is not None:
+            ckpt.save_dataset(
+                it, ranks, {"total_incoming": total_incoming, "uniform": uniform}
+            )
     return ranks

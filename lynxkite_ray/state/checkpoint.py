@@ -110,6 +110,54 @@ class CheckpointManager:
         files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         return pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in files])
 
+    def save_dataset(self, k: int, ds, metrics: dict) -> None:
+        """Distributed save for the Dataset-plane algorithms (V beyond the
+        dense threshold): blocks write straight to the iteration dir via
+        ``ds.write_parquet`` — nothing is collected to the driver.  The
+        manifest records per-file rows + byte sizes from the footers (a
+        content digest would force a full second read of state that never
+        touched the driver)."""
+        final = self._iter_dir(k)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        ds.write_parquet(tmp)
+        parts = []
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(tmp, f)
+            parts.append(
+                {
+                    "file": f,
+                    "rows": pq.read_metadata(p).num_rows,
+                    "bytes": os.path.getsize(p),
+                }
+            )
+        manifest = {
+            "iteration": k,
+            "lineage": self.lineage,
+            "parts": parts,
+            "metrics": metrics,
+            "distributed": True,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("")
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+    def load_dataset(self, k: int):
+        """Resume state as a Ray Dataset (only the parquet parts named by
+        the manifest — never the manifest/_SUCCESS files)."""
+        import ray.data as rd
+
+        d = self._iter_dir(k)
+        m = self.manifest(k)
+        files = [os.path.join(d, p["file"]) for p in m["parts"]]
+        return rd.read_parquet(files)
+
 
 def lineage_key(*parts) -> str:
     h = hashlib.blake2b(digest_size=12)

@@ -98,3 +98,47 @@ def test_lineage_mismatch_no_resume(tmp_path):
         str(tmp_path), "pagerank", "pagerank", "different-lineage"
     )
     assert other.latest() is None  # foreign manifests are ignored
+
+
+def test_dataset_plane_checkpoint_resume(tmp_path):
+    """Kill/resume parity for the Dataset-plane algorithms: a run resumed
+    from the first k checkpointed iterations must reproduce the
+    uncheckpointed full run exactly (VERDICT r2 next-round #6)."""
+    import os
+    import shutil
+
+    from lynxkite_ray.functions.graph.components import connected_components_dataset
+    from lynxkite_ray.functions.graph.labelprop import label_propagation_dataset
+    from lynxkite_ray.functions.graph.pagerank import pagerank_dataset
+
+    rng = np.random.default_rng(3)
+    n = 400
+    src = rng.integers(0, n, 1500)
+    dst = (src + rng.integers(1, n, 1500)) % n
+    edges = rd.from_arrow(
+        pa.table({"src": src.astype(np.int64), "dst": dst.astype(np.int64)})
+    )
+
+    def as_map(ds, val):
+        return {r["id"]: r[val] for r in ds.take_all()}
+
+    def crash_resume(fn, stage_dir, val, **kw):
+        full = as_map(fn(edges, **kw), val)
+        root_b = str(tmp_path / f"{stage_dir}_b")
+        r1 = as_map(fn(edges, checkpoint_root=root_b, **kw), val)
+        assert r1 == full
+        # copy only the first 2 iteration dirs → resume must complete it
+        root_c = str(tmp_path / f"{stage_dir}_c")
+        src_d = os.path.join(root_b, *stage_dir.split("/"))
+        dst_d = os.path.join(root_c, *stage_dir.split("/"))
+        os.makedirs(dst_d)
+        for name in sorted(os.listdir(src_d))[:2]:
+            shutil.copytree(os.path.join(src_d, name), os.path.join(dst_d, name))
+        r3 = as_map(fn(edges, checkpoint_root=root_c, **kw), val)
+        assert r3 == full
+
+    crash_resume(pagerank_dataset, "pagerank_ds/pr-ds", "rank", iterations=5)
+    crash_resume(
+        connected_components_dataset, "cc_ds/cc-ds", "component", max_rounds=8
+    )
+    crash_resume(label_propagation_dataset, "lpa_ds/lpa-ds", "label", iterations=5)
