@@ -701,6 +701,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": ST.q_kmeans_clusters,
         "key_intersection": ST.q_key_intersection,
         "adjacency_lists": ST.q_adjacency_lists,
+        # --- new this round ---
+        "text_embeddings": TX.q_text_embeddings,
+        "text_embedding_ann": TX.q_text_embedding_ann,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,

@@ -189,3 +189,23 @@ def q_fingerprint_matching(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     return extract_media_features(documents_as_media(sf_dir))
+
+
+def q_text_embeddings(sf_dir: str):
+    """TextEmbeddingPython.scala:21 analog — deterministic hashed-n-gram
+    embeddings over the documents table (rows-only: the hashing-trick
+    projection is not SQL-expressible)."""
+    from ..functions.embedding import embed_text
+
+    return embed_text(_docs(sf_dir), dim=32)
+
+
+def q_text_embedding_ann(sf_dir: str):
+    """Generated text embeddings feeding the existing ANN suite: top-3
+    cosine neighbors for the first 5 documents (rows-only)."""
+    from ..functions.embedding import embed_text
+
+    emb = embed_text(_docs(sf_dir), dim=32).materialize()
+    return S.ann_bruteforce(
+        emb, query_ids=list(range(5)), k=3, vec_col="embedding", id_col="doc_id"
+    )

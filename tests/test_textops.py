@@ -298,3 +298,34 @@ def test_jaccard_join_path_matches_broadcast(monkeypatch):
         for r in D.jaccard_pairs(docs_ds(texts), threshold=0.4).take_all()
     }
     assert got == ref and len(ref) >= 2
+
+
+def test_text_embeddings_deterministic_and_ann():
+    """TextEmbedder: same input → identical vectors across runs/actors,
+    unit-norm, and the vectors feed ann_bruteforce (near-identical texts
+    rank first)."""
+    from lynxkite_ray.functions.embedding import HashedNgramModel, embed_text
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "completely different words entirely here now",
+        "",
+    ] * 5
+    ds = docs_ds(texts)
+    a = {r["doc_id"]: r["embedding"] for r in embed_text(ds, dim=32).take_all()}
+    b = {r["doc_id"]: r["embedding"] for r in embed_text(ds, dim=32).take_all()}
+    assert a == b
+    # matches the in-process model exactly
+    local = HashedNgramModel(32).encode(texts)
+    for i in range(len(texts)):
+        np.testing.assert_allclose(np.array(a[i]), local[i], atol=0)
+    v = np.array(a[0])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert np.linalg.norm(np.array(a[3])) == 0.0  # empty text → zero vector
+
+    emb = embed_text(ds, dim=32).materialize()
+    top = S.ann_bruteforce(emb, query_ids=[0], k=3, id_col="doc_id").take_all()
+    by_rank = sorted(top, key=lambda r: r["rank"])
+    # duplicates of text 0 (ids 4, 8, 12, 16) fill the top ranks with cos 1
+    assert by_rank[0]["cos"] == 1.0 and by_rank[0]["neighbor_id"] in (4, 8, 12, 16)
