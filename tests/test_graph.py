@@ -305,3 +305,45 @@ def test_louvain_deterministic_and_beats_lpa():
         blk = [r1[v] for v in range(c * 30, (c + 1) * 30) if v in r1]
         agree += Counter(blk).most_common(1)[0][1]
     assert agree >= 0.9 * len(r1)
+
+
+def test_louvain_coarsened_above_threshold(monkeypatch):
+    """Above LOCAL_EDGE_THRESHOLD louvain must no longer raise: LPA
+    pre-contraction + local refinement completes and beats (or ties) the
+    plain LPA partition's modularity on a planted graph."""
+    import ray.data as rd
+
+    import lynxkite_ray.functions.graph.louvain as LV
+    from lynxkite_ray.functions.graph import Graph, label_propagation
+
+    rng = np.random.default_rng(13)
+    edges = set()
+    for c in range(6):
+        base = c * 40
+        for _ in range(400):
+            a, b = rng.integers(0, 40, 2)
+            if a != b:
+                edges.add((base + int(min(a, b)), base + int(max(a, b))))
+    for _ in range(60):
+        a, b = rng.integers(0, 240, 2)
+        if a != b and a // 40 != b // 40:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+    local = {x["id"]: x["community"] for x in LV.louvain(ds).take_all()}
+    monkeypatch.setattr(LV, "LOCAL_EDGE_THRESHOLD", 100)
+    coarse = {x["id"]: x["community"] for x in LV.louvain(ds).take_all()}
+    assert set(coarse) == set(local)  # every vertex labeled
+
+    g = Graph.from_edges(ds)
+    lpa = dict(zip(g.vids.tolist(), label_propagation(g, iterations=5).tolist()))
+    q_coarse = LV.modularity(ds, labels=coarse)
+    q_lpa = LV.modularity(ds, labels=lpa)
+    assert q_coarse >= q_lpa - 1e-12
+    assert q_coarse > 0.4
