@@ -704,6 +704,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new this round ---
         "text_embeddings": TX.q_text_embeddings,
         "text_embedding_ann": TX.q_text_embedding_ann,
+        "string_bucketing": ST.q_string_bucketing,
+        "double_bucketing": ST.q_double_bucketing,
+        "interval_bucketing": ST.q_interval_bucketing,
+        "vertex_bucket_grid": ST.q_vertex_bucket_grid,
+        "import_edges_for_existing": ST.q_import_edges_for_existing,
+        "pulled_over_attribute": ST.q_pulled_over_attribute,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,
@@ -813,6 +819,12 @@ def oracle_sql() -> dict[str, str]:
         "grow_segmentation": ST.GROW_SEG_SQL,
         "key_intersection": ST.INTERSECTION_SQL,
         "adjacency_lists": ST.ADJACENCY_SQL,
+        "string_bucketing": ST.STRING_BUCKETING_SQL,
+        "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
+        "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,
+        "vertex_bucket_grid": ST.VERTEX_GRID_SQL,
+        "import_edges_for_existing": ST.IMPORT_EDGES_SQL,
+        "pulled_over_attribute": ST.PULLED_OVER_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,
         "exact_dedup": TX.EXACT_DEDUP_SQL,

@@ -654,3 +654,189 @@ sp(id, d) AS (
 )
 SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM sp GROUP BY id
 """
+
+
+# ------------------------------------------------------- bucketing family
+
+
+def q_string_bucketing(sf_dir: str):
+    """StringBucketing (Bucketing.scala:33-63) over order priorities:
+    per-segment member counts, plus the invariant that each label maps to
+    exactly one content-hash segment id (n_segments == 1 per label)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.transform import string_bucketing
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.rename_columns(["id", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    from ..stages.shuffle import distinct
+
+    b = string_bucketing(orders, "o_orderpriority").materialize()
+    agg = b.groupby("label").aggregate(Count(alias_name="n"))
+    # hash-consistency check folded into the result: distinct (label,
+    # segment) per label must be 1 — count them per label and join
+    nseg = (
+        distinct(b.select_columns(["label", "segment"]), ["label", "segment"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n_segments"))
+    )
+    return agg.join(nseg, join_type="inner", num_partitions=2, on=("label",))
+
+
+STRING_BUCKETING_SQL = """
+SELECT o_orderpriority AS label, COUNT(*) AS n, CAST(1 AS BIGINT) AS n_segments
+FROM orders GROUP BY 1
+"""
+
+
+def q_double_bucketing(sf_dir: str):
+    """DoubleBucketing (Bucketing.scala:86-117), overlapping: every
+    customer belongs to two acctbal buckets of width 1000 (step 500)."""
+    from ..stages.transform import double_bucketing
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.rename_columns(["id", "c_acctbal"]), batch_format="pyarrow"
+    )
+    return double_bucketing(cust, "c_acctbal", 1000.0, overlap=True)
+
+
+DOUBLE_BUCKETING_SQL = """
+WITH b AS (
+  SELECT c_custkey AS id, CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS bk
+  FROM customer
+)
+SELECT id, bk - 1 AS bucket, (bk - 1) * 500.0 AS bottom,
+       (bk - 1) * 500.0 + 1000.0 AS top FROM b
+UNION ALL
+SELECT id, bk, bk * 500.0, bk * 500.0 + 1000.0 FROM b
+"""
+
+
+def q_interval_bucketing(sf_dir: str):
+    """IntervalBucketing (Bucketing.scala:145-177): each customer spans
+    [acctbal, acctbal + 750] and lands in every width-1000 bucket the
+    interval intersects."""
+    from ..stages.transform import interval_bucketing
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["c_custkey"],
+                "begin": t["c_acctbal"],
+                "end": pc.add(t["c_acctbal"], 750.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return interval_bucketing(cust, "begin", "end", 1000.0)
+
+
+INTERVAL_BUCKETING_SQL = """
+WITH e AS (
+  SELECT c_custkey AS id,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS b0,
+         CAST(FLOOR((c_acctbal + 750.0) / 1000.0) AS BIGINT) AS b1
+  FROM customer
+),
+x AS (SELECT id, UNNEST(range(b0, b1 + 1)) AS bucket FROM e)
+SELECT id, bucket, bucket * 1000.0 AS bottom, bucket * 1000.0 + 1000.0 AS top
+FROM x
+"""
+
+
+def q_vertex_bucket_grid(sf_dir: str):
+    """VertexBucketGrid.scala:33-80 — 2-D (acctbal × nationkey) bucket-count
+    grid over customers."""
+    from ..stages.transform import vertex_bucket_grid
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal", "c_nationkey"]
+    )
+    return vertex_bucket_grid(
+        cust, "c_acctbal", "c_nationkey", -1000.0, 10000.0, 11, 0.0, 25.0, 5
+    )
+
+
+VERTEX_GRID_SQL = """
+SELECT CAST(LEAST(GREATEST(FLOOR((c_acctbal + 1000.0) / 1000.0), 0), 10) AS BIGINT) AS xb,
+       CAST(LEAST(GREATEST(FLOOR(c_nationkey / 5.0), 0), 4) AS BIGINT) AS yb,
+       COUNT(*) AS n
+FROM customer GROUP BY 1, 2
+"""
+
+
+# --------------------------------------- import-resolution + pulled-over
+
+
+def q_import_edges_for_existing(sf_dir: str):
+    """ImportEdgesForExistingVertices (ImportGraphFromTable.scala:46-79):
+    a name-keyed edge list (supplier name → its nation's name) resolved to
+    vertex ids through a unique (name → id) map; nation ids offset to keep
+    the two vertex families disjoint."""
+    from ..stages.edges import resolve_edges_by_keys
+    from ..stages.join import broadcast_join
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    named = broadcast_join(
+        sup, nat, on=["s_nationkey"], right_on=["n_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"src_name": t["s_name"], "dst_name": t["n_name"]}),
+        batch_format="pyarrow",
+    )
+    sup_v = sup.map_batches(
+        lambda t: pa.table({"key": t["s_name"], "id": t["s_suppkey"]}),
+        batch_format="pyarrow",
+    )
+    nat_v = nat.map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["n_name"],
+                "id": pc.add(pc.cast(t["n_nationkey"], pa.int64()), 1_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return resolve_edges_by_keys(named, sup_v.union(nat_v), "key", "id")
+
+
+IMPORT_EDGES_SQL = """
+SELECT s_suppkey AS src, CAST(n_nationkey AS BIGINT) + 1000000 AS dst
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_pulled_over_attribute(sf_dir: str):
+    """PulledOverAttribute.scala:35 — customer acctbal pulled onto each of
+    the customer's orders through the (custkey → orderkey) mapping."""
+    from ..stages.edges import pulled_over_attribute
+
+    attr = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.rename_columns(["id", "acctbal"]), batch_format="pyarrow"
+    )
+    mapping = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"
+    )
+    return pulled_over_attribute(attr, mapping)
+
+
+PULLED_OVER_SQL = """
+SELECT o_orderkey AS id, c_acctbal AS acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""

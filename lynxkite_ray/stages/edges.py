@@ -379,3 +379,109 @@ def weighted_out_degree(edges: Dataset, weight_col: str = "weight") -> Dataset:
         zero_copy_batch=True,
     )
     return grouped_aggregate(e, ["src"], [(weight_col, "sum", "wsum")])
+
+
+def assert_unique_keys(ds: Dataset, keys: list[str], num_partitions: int | None = None) -> Dataset:
+    """RDDUtils.scala assertUniqueKeys analog: raise if any key repeats
+    (the reference asserts inside sortUnique; we pay one grouped count).
+    Returns the input unchanged (already-materialized pass-through)."""
+    dup = grouped_aggregate(
+        ds.select_columns(keys).map_batches(
+            lambda t, k=tuple(keys): pa.table(
+                {**{c: t[c] for c in k}, "one": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        keys,
+        [("one", "sum", "n")],
+        num_partitions,
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    )
+    bad = dup.take(1)
+    if bad:
+        raise ValueError(
+            f"assert_unique_keys: duplicate key {dict((k, bad[0][k]) for k in keys)}"
+        )
+    return ds
+
+
+def resolve_edges_by_keys(
+    named_edges: Dataset,
+    vertices: Dataset,
+    key_col: str,
+    id_col: str,
+    src_key: str = "src_name",
+    dst_key: str = "dst_name",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """ImportEdgesForExistingVertices (ImportGraphFromTable.scala:46-79):
+    edge endpoints arrive as attribute VALUES; resolve both ends to vertex
+    ids through the (key → id) map, asserting the map's keys are unique
+    (the reference's assertUniqueKeys — silent dup-key joins would
+    multiply edges).  Two hash joins, same shape as the reference's two
+    HybridRDD lookups."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    keymap = assert_unique_keys(
+        vertices.select_columns([key_col, id_col]).materialize(), [key_col]
+    )
+    src_map = keymap.map_batches(
+        lambda t: t.rename_columns([src_key, "src"]), batch_format="pyarrow"
+    )
+    dst_map = keymap.map_batches(
+        lambda t: t.rename_columns([dst_key, "dst"]), batch_format="pyarrow"
+    )
+    j = named_edges.select_columns([src_key, dst_key]).join(
+        src_map, join_type="inner", num_partitions=num_partitions, on=(src_key,)
+    )
+    j = j.join(dst_map, join_type="inner", num_partitions=num_partitions, on=(dst_key,))
+    return j.select_columns(["src", "dst"])
+
+
+def pulled_over_attribute(
+    attr: Dataset,
+    mapping: Dataset,
+    attr_id: str = "id",
+    map_src: str = "src",
+    map_dst: str = "dst",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """PulledOverAttribute.scala:35 — pull a vertex attribute through an
+    id-mapping edge bundle: every (src → dst) mapping edge gives dst a copy
+    of src's attribute values.  One hash join keyed on the original id."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    m = mapping.select_columns([map_src, map_dst]).map_batches(
+        lambda t: t.rename_columns([attr_id, "_new_id"]), batch_format="pyarrow"
+    )
+    j = attr.join(m, join_type="inner", num_partitions=num_partitions, on=(attr_id,))
+    drop = attr_id
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"id": t["_new_id"]}
+        for name in t.column_names:
+            if name not in ("_new_id", drop):
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def loop_edge_bundle(vertices: Dataset, id_col: str = "id") -> Dataset:
+    """LoopEdgeBundle.scala:20 — one self-loop per vertex."""
+    return vertices.map_batches(
+        lambda t: pa.table({"src": t[id_col], "dst": t[id_col]}),
+        batch_format="pyarrow",
+    )
+
+
+def empty_edge_bundle() -> Dataset:
+    """EmptyEdgeBundle.scala — the typed empty (src, dst) bundle."""
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )

@@ -98,6 +98,151 @@ def bucket_double(
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def string_bucketing(ds: Dataset, col: str, id_col: str = "id") -> Dataset:
+    """StringBucketing (Bucketing.scala:33-63): one segment per distinct
+    attribute value; each row of the output is a belongsTo edge
+    (id, segment, label).  Segment ids are content hashes of the label
+    (ids.py join-free philosophy) instead of randomNumbered."""
+    from ..ids import hash64_array
+
+    def body(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "segment": hash64_array(vals),
+                "label": pa.array(vals, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        body, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def double_bucketing(
+    ds: Dataset,
+    col: str,
+    bucket_width: float,
+    overlap: bool = False,
+    id_col: str = "id",
+) -> Dataset:
+    """DoubleBucketing (Bucketing.scala:86-117): bucket = floor(value/step)
+    with step = width/2 when overlapping (each vertex then belongs to 2
+    segments: bucket−1 and bucket); segment [bottom, top] attributes
+    attached to every belongsTo row."""
+    step = bucket_width / 2 if overlap else bucket_width
+
+    def body(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / step).astype(np.int64)
+        if overlap:
+            ids = np.repeat(ids, 2)
+            b = np.stack([b - 1, b], axis=1).reshape(-1)
+        return pa.table(
+            {
+                id_col: ids,
+                "bucket": b,
+                "bottom": b * step,
+                "top": b * step + bucket_width,
+            }
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        body, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def interval_bucketing(
+    ds: Dataset,
+    begin_col: str,
+    end_col: str,
+    bucket_width: float,
+    overlap: bool = False,
+    id_col: str = "id",
+) -> Dataset:
+    """IntervalBucketing (Bucketing.scala:145-177): a vertex spans
+    [begin, end]; it belongs to every bucket its interval intersects
+    (floor(begin/step) … floor(end/step), one earlier when overlapping).
+    Vectorized expansion: per-row bucket counts → repeat + offset ramp."""
+    step = bucket_width / 2 if overlap else bucket_width
+
+    def body(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        b0 = np.floor(
+            t.column(begin_col).to_numpy(zero_copy_only=False).astype(np.float64) / step
+        ).astype(np.int64)
+        b1 = np.floor(
+            t.column(end_col).to_numpy(zero_copy_only=False).astype(np.float64) / step
+        ).astype(np.int64)
+        if overlap:
+            b0 = b0 - 1
+        counts = np.maximum(b1 - b0 + 1, 0)
+        rep_ids = np.repeat(ids, counts)
+        starts = np.repeat(b0, counts)
+        total = int(counts.sum())
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        b = starts + ramp
+        return pa.table(
+            {
+                id_col: rep_ids,
+                "bucket": b,
+                "bottom": b * step,
+                "top": b * step + bucket_width,
+            }
+        )
+
+    return ds.select_columns([id_col, begin_col, end_col]).map_batches(
+        body, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def vertex_bucket_grid(
+    ds: Dataset,
+    xcol: str,
+    ycol: str,
+    xlo: float,
+    xhi: float,
+    xbuckets: int,
+    ylo: float,
+    yhi: float,
+    ybuckets: int,
+) -> Dataset:
+    """VertexBucketGrid.scala:33-80 — 2-D fixed-width bucket counts for
+    the bucketed-view grid: per-block (xb, yb) histogram partials summed
+    by one tiny grouped aggregate (the combine is xbuckets×ybuckets, not
+    O(rows))."""
+    from ray.data.aggregate import Sum
+
+    xw = (xhi - xlo) / xbuckets
+    yw = (yhi - ylo) / ybuckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(xcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(ycol).to_numpy(zero_copy_only=False).astype(np.float64)
+        xb = np.clip(np.floor((x - xlo) / xw).astype(np.int64), 0, xbuckets - 1)
+        yb = np.clip(np.floor((y - ylo) / yw).astype(np.int64), 0, ybuckets - 1)
+        key = xb * ybuckets + yb
+        cnt = np.bincount(key, minlength=xbuckets * ybuckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "xb": nz // ybuckets,
+                "yb": nz % ybuckets,
+                "n": cnt[nz],
+            }
+        )
+
+    return (
+        ds.select_columns([xcol, ycol])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["xb", "yb"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def ranking(ds: Dataset, cols: list[str], out: str = "rank", descending=False) -> Dataset:
     """AddRankingAttribute.scala:38 — dense global 1-based rank by
     (cols...) with the full column list as tie-break. Implemented as

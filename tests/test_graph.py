@@ -347,3 +347,34 @@ def test_louvain_coarsened_above_threshold(monkeypatch):
     q_lpa = LV.modularity(ds, labels=lpa)
     assert q_coarse >= q_lpa - 1e-12
     assert q_coarse > 0.4
+
+
+def test_edge_bundle_trivials_and_unique_assert():
+    """LoopEdgeBundle / EmptyEdgeBundle / assertUniqueKeys analogs."""
+    import ray.data as rd
+
+    from lynxkite_ray.stages.edges import (
+        assert_unique_keys,
+        empty_edge_bundle,
+        loop_edge_bundle,
+        pulled_over_attribute,
+    )
+
+    v = rd.from_arrow(pa.table({"id": [3, 1, 2]}))
+    loops = sorted((r["src"], r["dst"]) for r in loop_edge_bundle(v).take_all())
+    assert loops == [(1, 1), (2, 2), (3, 3)]
+    assert empty_edge_bundle().count() == 0
+    assert empty_edge_bundle().schema().names == ["src", "dst"]
+
+    dup = rd.from_arrow(pa.table({"k": ["a", "b", "a"], "id": [1, 2, 3]}))
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate key"):
+        assert_unique_keys(dup, ["k"])
+    uniq = rd.from_arrow(pa.table({"k": ["a", "b"], "id": [1, 2]}))
+    assert_unique_keys(uniq, ["k"])  # no raise
+
+    attr = rd.from_arrow(pa.table({"id": [1, 2], "val": ["x", "y"]}))
+    mapping = rd.from_arrow(pa.table({"src": [1, 1, 2], "dst": [10, 11, 20]}))
+    out = {r["id"]: r["val"] for r in pulled_over_attribute(attr, mapping).take_all()}
+    assert out == {10: "x", 11: "x", 20: "y"}
