@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_bucket_grid": ST.q_vertex_bucket_grid,
         "import_edges_for_existing": ST.q_import_edges_for_existing,
         "pulled_over_attribute": ST.q_pulled_over_attribute,
+        "modular_tweaks": ST.q_modular_tweaks,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,

@@ -840,3 +840,14 @@ PULLED_OVER_SQL = """
 SELECT o_orderkey AS id, c_acctbal AS acctbal
 FROM orders JOIN customer ON o_custkey = c_custkey
 """
+
+
+def q_modular_tweaks(sf_dir: str):
+    """FindModularClusteringByTweaks.scala:521 analog (pinned; rows-only —
+    modularity clustering is not SQL-expressible) over the directed
+    precedence graph."""
+    from ..functions.graph.tweaks import find_modular_clustering_by_tweaks
+
+    return find_modular_clustering_by_tweaks(
+        precedence_edges(sf_dir), max_iterations=4
+    )

@@ -378,3 +378,47 @@ def test_edge_bundle_trivials_and_unique_assert():
     mapping = rd.from_arrow(pa.table({"src": [1, 1, 2], "dst": [10, 11, 20]}))
     out = {r["id"]: r["val"] for r in pulled_over_attribute(attr, mapping).take_all()}
     assert out == {10: "x", 11: "x", 20: "y"}
+
+
+def test_modular_tweaks_deterministic_and_finds_structure():
+    """FindModularClusteringByTweaks analog: deterministic across runs,
+    recovers planted communities with modularity in Louvain's ballpark."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.louvain import modularity
+    from lynxkite_ray.functions.graph.tweaks import (
+        find_modular_clustering_by_tweaks,
+    )
+
+    rng = np.random.default_rng(71)
+    edges = set()
+    for c in range(4):
+        base = c * 30
+        for _ in range(260):
+            a, b = rng.integers(0, 30, 2)
+            if a != b:
+                edges.add((base + int(min(a, b)), base + int(max(a, b))))
+    for _ in range(40):
+        a, b = rng.integers(0, 120, 2)
+        if a != b and a // 30 != b // 30:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+    r1 = {
+        x["id"]: x["cluster"]
+        for x in find_modular_clustering_by_tweaks(ds, max_iterations=6).take_all()
+    }
+    r2 = {
+        x["id"]: x["cluster"]
+        for x in find_modular_clustering_by_tweaks(ds, max_iterations=6).take_all()
+    }
+    assert r1 == r2
+    assert len(r1) == 120
+    q = modularity(ds, labels=r1)
+    assert q > 0.55  # planted 4-block structure (Louvain reaches ~0.70)
