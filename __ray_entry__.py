@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_edges_for_existing": ST.q_import_edges_for_existing,
         "pulled_over_attribute": ST.q_pulled_over_attribute,
         "modular_tweaks": ST.q_modular_tweaks,
+        "pca_embeddings": ST.q_pca,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,

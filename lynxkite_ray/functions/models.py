@@ -430,3 +430,91 @@ def classify_with_tree(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------------------ PCA
+
+
+@ray.remote
+def _pca_partials(t: pa.Table, vec_col: str):
+    """Per-block (Σx, ΣxᵀX, n) — the covariance never touches raw rows on
+    the driver (same distributed shape as _lin_partials)."""
+    V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    if len(V) == 0:
+        return None
+    return V.sum(axis=0), V.T @ V, len(V)
+
+
+def train_pca(ds: Dataset, k: int = 8, vec_col: str = "embedding") -> dict:
+    """Sphynx PCA analog (reference delegates dimensionality reduction to
+    its single-node python domain; we keep the *reduction* distributed):
+    per-block second-moment partials → driver-side d×d eigendecomposition
+    (d = vector dim, tiny) → deterministic component signs (largest-|entry|
+    coordinate made positive).  Returns {components (k, d), mean,
+    explained_variance}."""
+    blocks = ds.select_columns([vec_col]).materialize().to_arrow_refs()
+    parts = [p for p in ray.get([_pca_partials.remote(b, vec_col) for b in blocks]) if p]
+    if not parts:
+        raise ValueError("train_pca: empty dataset")
+    sx = np.sum([p[0] for p in parts], axis=0)
+    sxx = np.sum([p[1] for p in parts], axis=0)
+    n = int(sum(p[2] for p in parts))
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps = evecs[:, order].T  # (k, d)
+    # pinned sign: the largest-|entry| coordinate of each component > 0
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "components": comps,
+        "mean": mean,
+        "explained_variance": np.maximum(evals[order], 0.0),
+    }
+
+
+class PCAScorer:
+    """Actor-pool projection stage (model fetched once per actor)."""
+
+    def __init__(self, model_ref, vec_col: str, id_col: str):
+        m = ray.get(model_ref)
+        self.comps = m["components"]
+        self.mean = m["mean"]
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        V = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        P = (V - self.mean) @ self.comps.T if len(V) else np.zeros((0, len(self.comps)))
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "pc": pa.FixedSizeListArray.from_arrays(
+                    pa.array(P.ravel(), pa.float64()), self.comps.shape[0]
+                ),
+            }
+        )
+
+
+def pca_transform(
+    ds: Dataset,
+    model: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | None = None,
+) -> Dataset:
+    if concurrency is None:
+        from ..context import pool_size
+
+        concurrency = pool_size()
+    ref = ray.put(model)
+    return ds.map_batches(
+        PCAScorer,
+        fn_constructor_args=(ref, vec_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

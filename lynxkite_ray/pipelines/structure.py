@@ -851,3 +851,30 @@ def q_modular_tweaks(sf_dir: str):
     return find_modular_clustering_by_tweaks(
         precedence_edges(sf_dir), max_iterations=4
     )
+
+
+def q_pca(sf_dir: str):
+    """Sphynx PCA analog — distributed covariance partials, local eigh,
+    actor-pool projection (rows-only; projections verified against
+    numpy.linalg in pytest).  The pc values are rounded so the value-hash
+    is stable across BLAS builds."""
+    from ..functions.models import pca_transform, train_pca
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    model = train_pca(emb, k=4)
+    out = pca_transform(emb, model)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        col = t.column("pc").combine_chunks()
+        k = col.type.list_size
+        P = np.round(col.flatten().to_numpy().reshape(-1, k), 6) + 0.0
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "pc": pa.FixedSizeListArray.from_arrays(
+                    pa.array(P.ravel(), pa.float64()), k
+                ),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")

@@ -120,3 +120,58 @@ def write_csv(ds: Dataset, path: str, **kwargs) -> None:
 
 def write_json(ds: Dataset, path: str, **kwargs) -> None:
     ds.write_json(path, **kwargs)
+
+
+def write_sql(ds: Dataset, db_path: str, table: str, mode: str = "create",
+              batch_size: int = 1 << 16) -> int:
+    """Generic SQL export adapter (ExportOperations.scala:24-135 /
+    JDBCExport slot): stream Arrow batches into a SQL engine.  DuckDB is
+    the engine available in this container; a JDBC/warehouse target plugs
+    in by swapping the connection factory — the Dataset side (streamed
+    ``iter_batches``, no driver-side full materialization) is unchanged.
+    Single-writer by design: file-backed engines serialize writers anyway;
+    a partition-parallel warehouse writer belongs behind the same API with
+    per-block connections.  Returns rows written."""
+    import duckdb
+
+    con = duckdb.connect(db_path)
+    try:
+        n = 0
+        first = mode == "create"
+        for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            con.register("_lkr_batch", batch)
+            if first:
+                con.execute(f'CREATE OR REPLACE TABLE "{table}" AS SELECT * FROM _lkr_batch')
+                first = False
+            else:
+                con.execute(f'INSERT INTO "{table}" SELECT * FROM _lkr_batch')
+            con.unregister("_lkr_batch")
+            n += batch.num_rows
+        if first:  # empty dataset in create mode: still make the table
+            schema = ds.schema().base_schema
+            empty = pa.table(
+                {f.name: pa.array([], f.type) for f in schema}
+            )
+            con.register("_lkr_batch", empty)
+            con.execute(f'CREATE OR REPLACE TABLE "{table}" AS SELECT * FROM _lkr_batch')
+            con.unregister("_lkr_batch")
+        return n
+    finally:
+        con.close()
+
+
+def read_sql(db_path: str, query: str, batch_rows: int = 1 << 18) -> Dataset:
+    """SQL import adapter (the JDBC/Hive import slot): run a query against
+    the engine and return its result as a Dataset.  Chunked fetch keeps
+    the driver's peak memory at one record batch."""
+    import duckdb
+
+    con = duckdb.connect(db_path, read_only=True)
+    try:
+        reader = con.execute(query).fetch_record_batch(batch_rows)
+        tables = [pa.Table.from_batches([b]) for b in reader]
+    finally:
+        con.close()
+    if not tables:
+        return rd.from_arrow(pa.table({}))
+    return rd.from_arrow(pa.concat_tables(tables))

@@ -146,3 +146,29 @@ def test_csv_json_export_roundtrip(tmp_path):
     assert np.allclose(back_csv["v"], ref["v"])
     assert back_json["k"].tolist() == ref["k"].tolist()
     assert np.allclose(back_json["v"], ref["v"])
+
+
+def test_sql_roundtrip(tmp_path):
+    """write_sql → read_sql round trip through the DuckDB-backed adapter."""
+    import ray.data as rd
+
+    from lynxkite_ray.sources.io import read_sql, write_sql
+
+    db = str(tmp_path / "x.duckdb")
+    ds = rd.from_arrow(
+        pa.table({"k": [3, 1, 2], "s": ["c", "a", "b"], "v": [0.5, 1.5, 2.5]})
+    )
+    n = write_sql(ds, db, "t")
+    assert n == 3
+    # append mode
+    n2 = write_sql(
+        rd.from_arrow(pa.table({"k": [9], "s": ["z"], "v": [9.0]})),
+        db,
+        "t",
+        mode="append",
+    )
+    assert n2 == 1
+    back = read_sql(db, "SELECT k, s, v FROM t ORDER BY k")
+    rows = back.take_all()
+    assert [r["k"] for r in rows] == [1, 2, 3, 9]
+    assert rows[0]["s"] == "a" and rows[3]["v"] == 9.0

@@ -402,3 +402,42 @@ def test_majority_aggregator():
     assert rows[1] == "a"      # 2/3 > 0.5
     assert rows[2] is None     # 1/3 each — no majority
     assert rows[3] == "m"      # 2/2
+
+
+def test_pca_matches_numpy():
+    """Distributed covariance partials + pinned signs == numpy PCA."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import pca_transform, train_pca
+
+    rng = np.random.default_rng(4)
+    n, d = 500, 6
+    # anisotropic data so components are well separated
+    A = rng.standard_normal((d, d))
+    V = rng.standard_normal((n, d)) @ (A * np.linspace(3, 0.3, d))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.ravel(), pa.float64()), d
+                ),
+            }
+        )
+    ).repartition(5)
+    m = train_pca(ds, k=3)
+    # numpy reference
+    mu = V.mean(axis=0)
+    cov = (V - mu).T @ (V - mu) / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals)[:3]
+    ref = evecs[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    np.testing.assert_allclose(m["components"], ref, atol=1e-8)
+    np.testing.assert_allclose(m["explained_variance"], evals[order], atol=1e-8)
+    out = {r["vec_id"]: np.array(r["pc"]) for r in pca_transform(ds, m).take_all()}
+    np.testing.assert_allclose(out[0], (V[0] - mu) @ ref.T, atol=1e-8)
+    assert len(out) == n
