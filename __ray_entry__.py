@@ -712,6 +712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pulled_over_attribute": ST.q_pulled_over_attribute,
         "modular_tweaks": ST.q_modular_tweaks,
         "pca_embeddings": ST.q_pca,
+        "node2vec_embeddings": ST.q_node2vec,
+        "gcn_scores": ST.q_gcn_scores,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,

@@ -878,3 +878,45 @@ def q_pca(sf_dir: str):
         )
 
     return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_node2vec(sf_dir: str):
+    """Node2Vec analog (Sphynx node2vec slot) over the precedence graph:
+    deterministic biased walks → PPMI factorization (rows-only)."""
+    from ..functions.graph.node2vec import node2vec_embeddings
+
+    return node2vec_embeddings(
+        precedence_edges(sf_dir), dim=8, walk_length=8, walks_per_node=2
+    )
+
+
+def q_gcn_scores(sf_dir: str):
+    """GCN classifier analog (sphynx/python/train_GCN_classifier.py slot):
+    predict each part's size class from (retailprice, container-length)
+    features + co-purchase structure; odd part keys are held out
+    (rows-only; accuracy + determinism pytest)."""
+    from ..functions.gcn import predict_gcn, train_gcn_classifier
+    from .copurchase import copurchase_edges
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy()
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = (size > 25).astype(np.int64)
+        label = np.where(pk % 2 == 0, cls, -1)
+        return pa.table(
+            {
+                "id": pk,
+                "price": t.column("p_retailprice"),
+                "sz": size.astype(np.float64),
+                "label": label,
+            }
+        )
+
+    f = part.map_batches(feats, batch_format="pyarrow").materialize()
+    edges = copurchase_edges(sf_dir)
+    model = train_gcn_classifier(edges, f, ["price", "sz"], "label", epochs=100)
+    return predict_gcn(edges, f, model, ["price", "sz"])

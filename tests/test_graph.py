@@ -422,3 +422,53 @@ def test_modular_tweaks_deterministic_and_finds_structure():
     assert len(r1) == 120
     q = modularity(ds, labels=r1)
     assert q > 0.55  # planted 4-block structure (Louvain reaches ~0.70)
+
+
+def test_node2vec_walks_and_embeddings():
+    """Walks: deterministic, follow edges only.  Embeddings: deterministic
+    and separate two loosely-joined cliques."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.node2vec import (
+        node2vec_embeddings,
+        node2vec_walks,
+    )
+
+    edges = []
+    for base in (0, 8):
+        for a in range(8):
+            for b in range(a + 1, 8):
+                edges.append((base + a, base + b))
+    edges.append((0, 8))  # bridge
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+    w1, vids = node2vec_walks(ds, walk_length=6, walks_per_node=2, p=2.0, q=0.5)
+    rows1 = sorted(w1.take_all(), key=lambda r: r["walk_id"])
+    w2, _ = node2vec_walks(ds, walk_length=6, walks_per_node=2, p=2.0, q=0.5)
+    rows2 = sorted(w2.take_all(), key=lambda r: r["walk_id"])
+    assert [r["walk"] for r in rows1] == [r["walk"] for r in rows2]
+    # every consecutive pair is a real edge
+    eset = {(min(a, b), max(a, b)) for a, b in edges}
+    idx2id = dict(enumerate(vids.tolist()))
+    for r in rows1:
+        wk = [x for x in r["walk"] if x >= 0]
+        for a, b in zip(wk, wk[1:]):
+            pair = (min(idx2id[a], idx2id[b]), max(idx2id[a], idx2id[b]))
+            assert pair in eset, pair
+
+    e1 = {r["id"]: np.array(r["embedding"]) for r in node2vec_embeddings(ds, dim=4).take_all()}
+    e2 = {r["id"]: np.array(r["embedding"]) for r in node2vec_embeddings(ds, dim=4).take_all()}
+    assert all(np.array_equal(e1[k], e2[k]) for k in e1)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    within = np.mean([cos(e1[1], e1[i]) for i in range(2, 8)])
+    across = np.mean([cos(e1[1], e1[8 + i]) for i in range(1, 8)])
+    assert within > across

@@ -441,3 +441,48 @@ def test_pca_matches_numpy():
     out = {r["vec_id"]: np.array(r["pc"]) for r in pca_transform(ds, m).take_all()}
     np.testing.assert_allclose(out[0], (V[0] - mu) @ ref.T, atol=1e-8)
     assert len(out) == n
+
+
+def test_gcn_classifier_transductive():
+    """2-layer numpy GCN: deterministic across runs and recovers the
+    community label of held-out vertices from graph structure alone."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.gcn import predict_gcn, train_gcn_classifier
+
+    rng = np.random.default_rng(21)
+    edges = set()
+    for c in range(2):
+        base = c * 20
+        for _ in range(120):
+            a, b = rng.integers(0, 20, 2)
+            if a != b:
+                edges.add((base + int(min(a, b)), base + int(max(a, b))))
+    for _ in range(6):
+        a, b = rng.integers(0, 20, 2)
+        edges.add((int(a), 20 + int(b)))
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+    ids = np.arange(40, dtype=np.int64)
+    # features: noisy 2-d signal aligned with the community
+    comm = (ids >= 20).astype(np.float64)
+    f1 = comm + 0.3 * rng.standard_normal(40)
+    f2 = rng.standard_normal(40)  # pure noise column
+    # label only half the vertices; the rest are held out
+    label = np.where(ids % 2 == 0, comm.astype(np.int64), -1)
+    feats = rd.from_arrow(
+        pa.table({"id": ids, "f1": f1, "f2": f2, "label": label})
+    )
+    m1 = train_gcn_classifier(eds, feats, ["f1", "f2"], "label", epochs=150)
+    m2 = train_gcn_classifier(eds, feats, ["f1", "f2"], "label", epochs=150)
+    assert np.array_equal(m1["W1"], m2["W1"]) and np.array_equal(m1["W2"], m2["W2"])
+    pred = {r["id"]: r["pred"] for r in predict_gcn(eds, feats, m1, ["f1", "f2"]).take_all()}
+    held = [i for i in range(40) if label[i] < 0]
+    acc = np.mean([pred[i] == int(comm[i]) for i in held])
+    assert acc >= 0.9, acc
