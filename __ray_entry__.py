@@ -714,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": ST.q_pca,
         "node2vec_embeddings": ST.q_node2vec,
         "gcn_scores": ST.q_gcn_scores,
+        "hypermap_coords": ST.q_hypermap_coords,
+        "hyperbolic_prediction": ST.q_hyperbolic_prediction,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,

@@ -920,3 +920,19 @@ def q_gcn_scores(sf_dir: str):
     edges = copurchase_edges(sf_dir)
     model = train_gcn_classifier(edges, f, ["price", "sz"], "label", epochs=100)
     return predict_gcn(edges, f, model, ["price", "sz"])
+
+
+def q_hypermap_coords(sf_dir: str):
+    """HyperMap.scala:32 analog — hyperbolic coordinates of the precedence
+    graph (rows-only; geometry invariants pytest-checked)."""
+    from ..functions.graph.hyperbolic import hypermap
+
+    return hypermap(precedence_edges(sf_dir))
+
+
+def q_hyperbolic_prediction(sf_dir: str):
+    """HyperbolicPrediction.scala:41 analog — top-100 predicted links from
+    the HyperMap embedding (rows-only)."""
+    from ..functions.graph.hyperbolic import hyperbolic_prediction, hypermap
+
+    return hyperbolic_prediction(hypermap(precedence_edges(sf_dir)), size=100)

