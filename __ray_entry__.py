@@ -716,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gcn_scores": ST.q_gcn_scores,
         "hypermap_coords": ST.q_hypermap_coords,
         "hyperbolic_prediction": ST.q_hyperbolic_prediction,
+        "tsne_embeddings": ST.q_tsne,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,

@@ -936,3 +936,13 @@ def q_hyperbolic_prediction(sf_dir: str):
     from ..functions.graph.hyperbolic import hyperbolic_prediction, hypermap
 
     return hyperbolic_prediction(hypermap(precedence_edges(sf_dir)), size=100)
+
+
+def q_tsne(sf_dir: str):
+    """tsne.py (Sphynx python domain) analog — pinned exact t-SNE of the
+    embeddings table (rows-only; cluster-separation pytest)."""
+    from ..functions.tsne import tsne_embedding
+
+    return tsne_embedding(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), iterations=250
+    )

@@ -486,3 +486,36 @@ def test_gcn_classifier_transductive():
     held = [i for i in range(40) if label[i] < 0]
     acc = np.mean([pred[i] == int(comm[i]) for i in held])
     assert acc >= 0.9, acc
+
+
+def test_tsne_deterministic_separates_clusters():
+    """Pinned exact t-SNE: deterministic and separates planted clusters."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.tsne import tsne_embedding
+
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((3, 8)) * 6
+    V = centers[np.arange(180) % 3] + rng.standard_normal((180, 8)) * 0.3
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(180, dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.ravel(), pa.float64()), 8
+                ),
+            }
+        )
+    )
+    o1 = {r["vec_id"]: np.array(r["tsne"]) for r in tsne_embedding(ds, iterations=300).take_all()}
+    o2 = {r["vec_id"]: np.array(r["tsne"]) for r in tsne_embedding(ds, iterations=300).take_all()}
+    assert all(np.array_equal(o1[k], o2[k]) for k in o1)
+    Y = np.stack([o1[i] for i in range(180)])
+    lab = np.arange(180) % 3
+    centroid_gap = min(
+        np.linalg.norm(Y[lab == a].mean(0) - Y[lab == b].mean(0))
+        for a in range(3)
+        for b in range(a + 1, 3)
+    )
+    within = np.mean([np.linalg.norm(Y[i] - Y[lab == lab[i]].mean(0)) for i in range(30)])
+    assert centroid_gap > 2 * within
