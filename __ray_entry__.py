@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hypermap_coords": ST.q_hypermap_coords,
         "hyperbolic_prediction": ST.q_hyperbolic_prediction,
         "tsne_embeddings": ST.q_tsne,
+        "log_histogram": ST.q_log_histogram,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,
@@ -832,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_bucket_grid": ST.VERTEX_GRID_SQL,
         "import_edges_for_existing": ST.IMPORT_EDGES_SQL,
         "pulled_over_attribute": ST.PULLED_OVER_SQL,
+        "log_histogram": ST.LOG_HIST_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,
         "exact_dedup": TX.EXACT_DEDUP_SQL,

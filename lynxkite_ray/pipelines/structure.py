@@ -946,3 +946,21 @@ def q_tsne(sf_dir: str):
     return tsne_embedding(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"), iterations=250
     )
+
+
+def q_log_histogram(sf_dir: str):
+    """Logarithmic-axis histogram of positive acctbals (FE log bucketer)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.transform import bucket_double_log
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+    b = bucket_double_log(cust, "c_acctbal", 1.0, 10000.0, 8)
+    return b.groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+LOG_HIST_SQL = """
+SELECT CAST(LEAST(GREATEST(FLOOR(LN(c_acctbal) / (LN(10000.0) - LN(1.0)) * 8), 0), 7) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM customer WHERE c_acctbal > 0 GROUP BY 1
+"""

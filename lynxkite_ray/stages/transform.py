@@ -98,6 +98,29 @@ def bucket_double(
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bucket_double_log(
+    ds: Dataset, col: str, lo: float, hi: float, buckets: int, out: str = "bucket"
+) -> Dataset:
+    """Logarithmic bucketing (the FE histogram's log axis,
+    Bucketer.scala logarithmic mode): bucket edges geometric between lo
+    and hi (both > 0); values outside clamp to the edge buckets, rows
+    ≤ 0 are dropped (undefined on a log axis)."""
+    import math
+
+    la, lb = math.log(lo), math.log(hi)
+    scale = buckets / (lb - la)
+
+    def body(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = v > 0
+        tt = t.filter(pa.array(keep))
+        b = np.floor((np.log(v[keep]) - la) * scale).astype(np.int64)
+        np.clip(b, 0, buckets - 1, out=b)
+        return tt.append_column(out, pa.array(b))
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def string_bucketing(ds: Dataset, col: str, id_col: str = "id") -> Dataset:
     """StringBucketing (Bucketing.scala:33-63): one segment per distinct
     attribute value; each row of the output is a belongsTo edge
