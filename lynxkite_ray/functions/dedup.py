@@ -111,18 +111,21 @@ class MinHasher:
 
 def minhash_signatures(ds: Dataset, num_perm=128, shingle_k=3, seed=7,
                        col="text", id_col="doc_id", concurrency=None) -> Dataset:
-    if concurrency is None:
-        from ..context import pool_size
-
-        concurrency = pool_size()
-    return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, shingle_k=shingle_k, seed=seed, col=col, id_col=id_col
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    """Stateless tasks by default (the MinHasher's permutation arrays are
+    tiny and ship with the task; pool startup would dominate small
+    corpora — extract.py:188-195 documents the trade-off).  Pass
+    ``concurrency`` to pin an actor pool instead."""
+    kwargs = dict(
+        num_perm=num_perm, shingle_k=shingle_k, seed=seed, col=col, id_col=id_col
     )
+    if concurrency is not None:
+        return ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    return ds.map_batches(MinHasher(**kwargs), batch_format="pyarrow")
 
 
 def lsh_candidate_pairs(
@@ -750,8 +753,6 @@ def _emb_band_signatures(
     carried along normalized so the per-bucket verify needs no second
     join.  Traffic = bands × input — linear, the price of sub-quadratic
     candidates."""
-    from ..context import pool_size
-
     field = ds.schema().base_schema.field(vec_col)
     if pa.types.is_fixed_size_list(field.type):
         dim = field.type.list_size
@@ -796,11 +797,10 @@ def _emb_band_signatures(
                 }
             )
 
+    # stateless tasks, driver-built signer (H ships with the task spec;
+    # same trade-off note as similarity.ann_bruteforce)
     return ds.select_columns([id_col, vec_col]).map_batches(
-        _BandSigner,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=pool_size(),
+        _BandSigner(), batch_format="pyarrow", zero_copy_batch=True
     )
 
 

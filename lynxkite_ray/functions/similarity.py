@@ -79,17 +79,20 @@ def ann_bruteforce(
 ) -> Dataset:
     """Exact top-k cosine neighbors for each query id (self excluded).
     Deterministic tie-break: higher cos first, then smaller neighbor_id."""
-    from ..context import pool_size
     from ..stages.shuffle import COALESCE_BATCH, hash_partition
 
     qid, Qn = _collect_queries(ds, list(query_ids), vec_col, id_col)
     qref = ray.put((qid, Qn))
-    partial = ds.map_batches(
-        _BlockTopK,
-        fn_constructor_args=(qref, k, vec_col, id_col),
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+
+    # Stateless tasks, not an actor pool: the only "state" is the query
+    # matrix, which lives in plasma (ray.get is node-local after the first
+    # fetch) — a pool would pay ~0.1s/actor startup on every call, which
+    # dominates small inputs (extract.py:188-195 documents the same
+    # trade-off)
+    def topk_task(t: pa.Table) -> pa.Table:
+        return _BlockTopK(qref, k, vec_col, id_col)(t)
+
+    partial = ds.map_batches(topk_task, batch_format="pyarrow")
 
     # Arrow-native final merge: hash-partition the per-block partials by
     # query (each query's candidates land whole in one block — COALESCE
@@ -207,14 +210,10 @@ def ann_lsh(
     signer_kwargs = dict(
         dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col
     )
-    from ..context import pool_size
-
-    sigs = ds.map_batches(
-        _HyperplaneSigner,
-        fn_constructor_kwargs=signer_kwargs,
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+    # driver-built signer shipped with the tasks (H is dim×n_planes —
+    # small; same stateless-task trade-off as ann_bruteforce)
+    signer = _HyperplaneSigner(**signer_kwargs)
+    sigs = ds.map_batches(signer, batch_format="pyarrow")
     # query buckets (small driver-side set)
     qsig = {}
     s = _HyperplaneSigner(**signer_kwargs)
