@@ -509,6 +509,13 @@ def minhash_dedup(
     rep = min id of the duplicate cluster (rep == id for uniques)."""
     import ray.data as rd
 
+    from ..context import session_cpus
+
+    # a small parquet input arrives as 1-2 blocks, which would run the
+    # CPU-heavy signature stage on one core — spread it across the session
+    ds = ds.materialize()
+    if ds.num_blocks() < session_cpus():
+        ds = ds.repartition(session_cpus()).materialize()
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, id_col).materialize()
     cand = lsh_candidate_pairs(sigs, bands, id_col, distinct_pairs=False)
     verified = verify_pairs_jaccard(ds, cand, threshold, col, id_col)
