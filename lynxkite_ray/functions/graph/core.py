@@ -361,6 +361,12 @@ class Graph:
             ).astype(np.float64)
         num_edges = n_rows
         lineage = lineage_key("graph", V, num_edges, weight_col)
+        # block until the shard layout is sealed: otherwise the split +
+        # assemble tasks finish inside the caller's FIRST iteration and
+        # several seconds of build cost get attributed to per-iteration
+        # throughput (the bench's prlarge_iter swung 0.07→0.25s from this)
+        if shard_refs:
+            ray.wait(shard_refs, num_returns=len(shard_refs), fetch_local=False)
         return cls(vids, shard_refs, ray.put(wdeg), num_edges, lineage)
 
     def gather_edges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
