@@ -714,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": ST.q_pca,
         "node2vec_embeddings": ST.q_node2vec,
         "gcn_scores": ST.q_gcn_scores,
+        "gcn_regression": ST.q_gcn_regression,
         "hypermap_coords": ST.q_hypermap_coords,
         "hyperbolic_prediction": ST.q_hyperbolic_prediction,
         "tsne_embeddings": ST.q_tsne,

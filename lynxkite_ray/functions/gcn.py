@@ -196,3 +196,102 @@ def predict_gcn(
             }
         )
     )
+
+
+def train_gcn_regressor(
+    edges: Dataset,
+    features: Dataset,
+    feature_cols: list,
+    target_col: str,
+    id_col: str = "id",
+    hidden: int = 16,
+    epochs: int = 200,
+    lr: float = 0.3,
+    seed: int = 5,
+) -> dict:
+    """train_GCN_regressor.py analog: same 2-layer propagation, scalar
+    output head, MSE loss over labeled vertices (null target =
+    unlabeled).  Deterministic (seeded init, full batch)."""
+    import pyarrow.compute as pc_  # noqa: F401
+
+    ids, ui, vi, X, _ = _gather_graph(edges, features, id_col, feature_cols, None)
+    # targets gathered separately (float, null = unlabeled)
+    rows = []
+    for b in features.select_columns([id_col, target_col]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        rows.append(b)
+    ft = pa.concat_tables(rows)
+    tids = ft.column(id_col).to_numpy()
+    torder = np.argsort(tids)
+    yv = ft.column(target_col).to_numpy(zero_copy_only=False).astype(np.float64)[torder]
+    labeled = ~np.isnan(yv)
+    if labeled.sum() < 2:
+        raise ValueError("train_gcn_regressor: need at least 2 labeled rows")
+
+    V = len(ids)
+    r, c, w = _ahat(ui, vi, V)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    Xn = (X - mu) / np.where(sd > 0, sd, 1.0)
+    ymu = float(yv[labeled].mean())
+    ysd = float(yv[labeled].std() or 1.0)
+    yn = (yv - ymu) / ysd
+
+    rng = np.random.default_rng(seed)
+    d_in = Xn.shape[1]
+    W1 = rng.standard_normal((d_in, hidden)) * np.sqrt(2.0 / (d_in + hidden))
+    b1 = np.zeros(hidden)
+    W2 = rng.standard_normal((hidden, 1)) * np.sqrt(2.0 / (hidden + 1))
+    b2 = np.zeros(1)
+    AX = _prop(r, c, w, Xn)
+    lab_idx = np.flatnonzero(labeled)
+    nl = len(lab_idx)
+    for _ in range(epochs):
+        Z1 = AX @ W1 + b1
+        H = np.maximum(Z1, 0.0)
+        AH = _prop(r, c, w, H)
+        pred = (AH @ W2 + b2)[:, 0]
+        dP = np.zeros(V)
+        dP[lab_idx] = 2.0 * (pred[lab_idx] - yn[lab_idx]) / nl
+        dW2 = AH.T @ dP[:, None]
+        db2 = np.array([dP.sum()])
+        dAH = dP[:, None] @ W2.T
+        dH = _prop(r, c, w, dAH)
+        dZ1 = dH * (Z1 > 0)
+        dW1 = AX.T @ dZ1
+        db1 = dZ1.sum(axis=0)
+        W1 -= lr * dW1
+        b1 -= lr * db1
+        W2 -= lr * dW2
+        b2 -= lr * db2
+    return {
+        "W1": W1, "b1": b1, "W2": W2, "b2": b2,
+        "mean": mu, "std": sd, "y_mean": ymu, "y_std": ysd,
+    }
+
+
+def predict_gcn_regressor(
+    edges: Dataset,
+    features: Dataset,
+    model: dict,
+    feature_cols: list,
+    id_col: str = "id",
+) -> Dataset:
+    """(id, pred) — transductive regression forward pass."""
+    import ray.data as rd
+
+    ids, ui, vi, X, _ = _gather_graph(edges, features, id_col, feature_cols, None)
+    V = len(ids)
+    r, c, w = _ahat(ui, vi, V)
+    Xn = (X - model["mean"]) / np.where(model["std"] > 0, model["std"], 1.0)
+    H = np.maximum(_prop(r, c, w, Xn) @ model["W1"] + model["b1"], 0.0)
+    pred = (_prop(r, c, w, H) @ model["W2"] + model["b2"])[:, 0]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": ids,
+                "pred": np.round(pred * model["y_std"] + model["y_mean"], 6),
+            }
+        )
+    )

@@ -964,3 +964,31 @@ SELECT CAST(LEAST(GREATEST(FLOOR(LN(c_acctbal) / (LN(10000.0) - LN(1.0)) * 8), 0
        COUNT(*) AS n
 FROM customer WHERE c_acctbal > 0 GROUP BY 1
 """
+
+
+def q_gcn_regression(sf_dir: str):
+    """train_GCN_regressor.py analog — predict part retailprice from size
+    + structure; odd keys held out (rows-only)."""
+    from ..functions.gcn import predict_gcn_regressor, train_gcn_regressor
+    from .copurchase import copurchase_edges
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy()
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = np.where(pk % 2 == 0, price, np.nan)
+        return pa.table(
+            {
+                "id": pk,
+                "sz": t.column("p_size").to_numpy(zero_copy_only=False).astype(np.float64),
+                "y": y,
+            }
+        )
+
+    f = part.map_batches(feats, batch_format="pyarrow").materialize()
+    edges = copurchase_edges(sf_dir)
+    model = train_gcn_regressor(edges, f, ["sz"], "y", epochs=80)
+    return predict_gcn_regressor(edges, f, model, ["sz"])

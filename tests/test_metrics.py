@@ -519,3 +519,43 @@ def test_tsne_deterministic_separates_clusters():
     )
     within = np.mean([np.linalg.norm(Y[i] - Y[lab == lab[i]].mean(0)) for i in range(30)])
     assert centroid_gap > 2 * within
+
+
+def test_gcn_regressor_transductive():
+    """GCN regressor: deterministic; held-out targets recovered from a
+    graph-correlated signal."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.gcn import (
+        predict_gcn_regressor,
+        train_gcn_regressor,
+    )
+
+    rng = np.random.default_rng(31)
+    edges = set()
+    for c in range(2):
+        base = c * 20
+        for _ in range(150):
+            a, b = rng.integers(0, 20, 2)
+            if a != b:
+                edges.add((base + int(min(a, b)), base + int(max(a, b))))
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+    ids = np.arange(40, dtype=np.int64)
+    target_true = np.where(ids < 20, 10.0, -10.0)
+    f1 = target_true / 10 + 0.2 * rng.standard_normal(40)
+    y = np.where(ids % 2 == 0, target_true, np.nan)
+    feats = rd.from_arrow(pa.table({"id": ids, "f1": f1, "y": y}))
+    m1 = train_gcn_regressor(eds, feats, ["f1"], "y", epochs=200)
+    m2 = train_gcn_regressor(eds, feats, ["f1"], "y", epochs=200)
+    assert np.array_equal(m1["W1"], m2["W1"])
+    pred = {r["id"]: r["pred"] for r in predict_gcn_regressor(eds, feats, m1, ["f1"]).take_all()}
+    held = [i for i in range(40) if i % 2 == 1]
+    err = np.mean([abs(pred[i] - target_true[i]) for i in held])
+    assert err < 3.0, err
