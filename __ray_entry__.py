@@ -719,6 +719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperbolic_prediction": ST.q_hyperbolic_prediction,
         "tsne_embeddings": ST.q_tsne,
         "log_histogram": ST.q_log_histogram,
+        "max_by_priority": R.max_by_priority,
+        "count_most_common_priority": R.count_most_common_priority,
+        "quantity_vector": R.quantity_vector,
+        "min_positive_acctbal": R.min_positive_acctbal,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,
@@ -835,6 +839,11 @@ def oracle_sql() -> dict[str, str]:
         "import_edges_for_existing": ST.IMPORT_EDGES_SQL,
         "pulled_over_attribute": ST.PULLED_OVER_SQL,
         "log_histogram": ST.LOG_HIST_SQL,
+        "max_by_priority": R.MAX_BY_SQL,
+        "count_most_common_priority": R.COUNT_MOST_COMMON_SQL,
+        "quantity_vector": R.QUANTITY_VECTOR_SQL,
+        "min_positive_acctbal": R.MIN_POSITIVE_SQL,
+        "ann_topk": TX.ANN_TOPK_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,
         "exact_dedup": TX.EXACT_DEDUP_SQL,

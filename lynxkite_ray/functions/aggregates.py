@@ -101,6 +101,62 @@ class Majority(MostCommon):
         return val if cnt >= self._fraction * total else None
 
 
+def max_by(ds: Dataset, key: str, on: str, by: str, out: str = "max_by") -> Dataset:
+    """Value of ``on`` at the LARGEST ``by`` per key (MaxBy(Double),
+    Aggregate.scala:316-560).  The reference's pick is arbitrary on ties;
+    pinned here: equal ``by`` → smallest ``on`` value, for verifiability.
+
+    Two vectorized passes (the aggregateRDD partial+merge shape): a
+    per-block argmax partial, then one key shuffle of the ≤|keys|-per-block
+    partials and the same reduction per shuffled block.  (Not an
+    AggregateFnV2: Ray's hash aggregate projects blocks down to the `on`
+    column, so a second sort column can't ride along.)"""
+    import numpy as np
+
+    from ..stages.shuffle import COALESCE_BATCH, hash_partition
+
+    def reduce_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        b = t.column(by).to_numpy(zero_copy_only=False)
+        v = np.asarray(t.column(on).to_pylist(), dtype=object)
+        # per key: by DESC, then on ASC → first row of each key group wins
+        order = np.lexsort((v, -b, k))
+        k, b, v = k[order], b[order], v[order]
+        bound = np.empty(len(k), dtype=bool)
+        bound[0] = True
+        bound[1:] = k[1:] != k[:-1]
+        return pa.table(
+            {key: pa.array(k[bound]), by: pa.array(b[bound]), on: pa.array(v[bound])}
+        )
+
+    partial = ds.select_columns([key, on, by]).map_batches(
+        reduce_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = hash_partition(partial, [key]).map_batches(
+        reduce_block,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
+    )
+    return merged.map_batches(
+        lambda t: t.drop_columns([by]).rename_columns([key, out]),
+        batch_format="pyarrow",
+    )
+
+
+class CountMostCommon(MostCommon):
+    """Count of the most frequent value per group (CountMostCommon,
+    Aggregate.scala:316-560) — the mode's multiplicity, not the mode."""
+
+    def finalize(self, acc):
+        acc = self._to_counter(acc)
+        if not acc:
+            return 0
+        return max(acc.values())
+
+
 class FirstBy(AggregateFnV2):
     """Value of ``on`` at the smallest ``order_col`` in the group —
     deterministic First (Aggregate.scala First is partition-order dependent;
@@ -208,6 +264,84 @@ def weighted_average(
             ["_swx", "_sw"]
         ),
         batch_format="pyarrow",
+    )
+
+
+def weighted_sum(
+    ds: Dataset, key, value_col: str, weight_col: str, out: str = "weighted_sum"
+) -> Dataset:
+    """Σ(w·x) per key (WeightedSum, Aggregate.scala:316-560) — one computed
+    product column + the built-in distributed Sum."""
+    prod = ds.map_batches(
+        lambda t: t.append_column("_wx", pc.multiply(t[value_col], t[weight_col])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return prod.groupby(key).aggregate(Sum("_wx", alias_name=out))
+
+
+def min_max_min_positive(ds: Dataset, key, col: str) -> Dataset:
+    """Per-key (min, max, min positive) in one pass
+    (ComputeMinMaxMinPositive, BasicStats.scala:29-282 — the reference
+    computes it for log-scale histogram axis planning)."""
+    from ray.data.aggregate import Max, Min
+
+    masked = ds.map_batches(
+        lambda t: t.append_column(
+            "_pos",
+            pc.if_else(pc.greater(t[col], 0.0), t[col], pa.scalar(None, pa.float64())),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return masked.groupby(key).aggregate(
+        Min(col, alias_name="min_val"),
+        Max(col, alias_name="max_val"),
+        Min("_pos", alias_name="min_positive", ignore_nulls=True),
+    )
+
+
+def as_vector(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    order_col: str,
+    out: str = "vec",
+    sep: str = ",",
+) -> Dataset:
+    """AsVector aggregator (Aggregate.scala:316-560): per key, ALL values
+    (duplicates kept) concatenated in ``order_col`` order — the ordered
+    sibling of as_set_concat.  Deterministic: ties in ``order_col`` break by
+    value.  One key shuffle; per-block pass afterwards."""
+    import numpy as np
+
+    from ..stages.shuffle import COALESCE_BATCH, hash_partition
+
+    part = hash_partition(ds.select_columns([key, value_col, order_col]), [key])
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()), out: pa.array([], pa.string())}
+            )
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        v = np.asarray(
+            [str(x) for x in t.column(value_col).to_pylist()], dtype=object
+        )
+        order = np.lexsort((v, o, k))
+        k, v = k[order], v[order]
+        bound = np.empty(len(k), dtype=bool)
+        bound[0] = True
+        bound[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(bound)
+        stops = np.append(starts[1:], len(k))
+        keys_out = k[starts]
+        vals_out = [sep.join(v[a:b]) for a, b in zip(starts, stops)]
+        return pa.table({key: keys_out, out: pa.array(vals_out, pa.string())})
+
+    return part.map_batches(
+        body, batch_format="pyarrow", zero_copy_batch=True, batch_size=COALESCE_BATCH
     )
 
 

@@ -19,7 +19,11 @@ from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 from ..functions.aggregates import (
     CountDistinct,
+    CountMostCommon,
+    max_by,
     MostCommon,
+    as_vector,
+    min_max_min_positive,
     top_values,
     weighted_average,
 )
@@ -420,6 +424,94 @@ SELECT c_mktsegment, top_priority FROM (
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_mktsegment, o_orderpriority
 ) WHERE rn = 1
+"""
+
+
+def max_by_priority(sf_dir: str):
+    """MaxBy(Double) (Aggregate.scala:316-560): per customer, the priority
+    of their highest-total order (pinned tie-break: equal total → smallest
+    priority string)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    return max_by(
+        orders, "o_custkey", "o_orderpriority", "o_totalprice", out="best_priority"
+    )
+
+
+MAX_BY_SQL = """
+SELECT o_custkey, best_priority FROM (
+  SELECT o_custkey, o_orderpriority AS best_priority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderpriority ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def count_most_common_priority(sf_dir: str):
+    """CountMostCommon (Aggregate.scala:316-560): the modal priority's
+    multiplicity per market segment."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    return j.groupby("c_mktsegment").aggregate(
+        CountMostCommon("o_orderpriority", alias_name="mode_count")
+    )
+
+
+COUNT_MOST_COMMON_SQL = """
+SELECT c_mktsegment, MAX(cnt) AS mode_count FROM (
+  SELECT c_mktsegment, COUNT(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+) GROUP BY c_mktsegment
+"""
+
+
+def quantity_vector(sf_dir: str):
+    """AsVector (Aggregate.scala:316-560): per order, the integer
+    quantities of its lineitems in linenumber order (duplicates kept —
+    the ordered sibling of order_part_sets' AsSet)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_linenumber"])
+    ints = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "q": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "l_linenumber": t["l_linenumber"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return as_vector(ints, "l_orderkey", "q", "l_linenumber", out="quantities")
+
+
+# l_linenumber is non-unique in the synthetic data, so the order-by needs
+# the same pinned tie-break as as_vector: value-as-string ASC.
+QUANTITY_VECTOR_SQL = """
+SELECT l_orderkey,
+       string_agg(q, ',' ORDER BY l_linenumber, q) AS quantities
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(CAST(ROUND(l_quantity) AS BIGINT) AS VARCHAR) AS q
+      FROM lineitem)
+GROUP BY l_orderkey
+"""
+
+
+def min_positive_acctbal(sf_dir: str):
+    """ComputeMinMaxMinPositive (BasicStats.scala:29-282): per segment min /
+    max / smallest-positive account balance in one pass (the reference uses
+    it to plan log-scale histogram axes)."""
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    return min_max_min_positive(cust, "c_mktsegment", "c_acctbal")
+
+
+MIN_POSITIVE_SQL = """
+SELECT c_mktsegment,
+       MIN(c_acctbal) AS min_val,
+       MAX(c_acctbal) AS max_val,
+       MIN(CASE WHEN c_acctbal > 0 THEN c_acctbal END) AS min_positive
+FROM customer GROUP BY c_mktsegment
 """
 
 

@@ -119,6 +119,30 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_ann_topk(sf_dir: str):
+    return S.ann_bruteforce(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+# Tie-break matches ann_bruteforce exactly: cos DESC, neighbor_id ASC.
+# Row risk: two candidates within one float64 ulp at rank k could order
+# differently between numpy and DuckDB — never observed on the synthetic
+# embeddings (pairwise cosines are well separated).
+ANN_TOPK_SQL = """
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 10
+) WHERE rank <= 5
+"""
+
+
 def q_ann_threshold(sf_dir: str):
     return S.ann_threshold(_emb(sf_dir), query_ids=list(range(10)), threshold=0.3)
 
@@ -151,10 +175,6 @@ def q_simhash(sf_dir: str):
 
 def q_minhash_dedup(sf_dir: str):
     return D.minhash_dedup(_docs(sf_dir), threshold=0.9)
-
-
-def q_ann_topk(sf_dir: str):
-    return S.ann_bruteforce(_emb(sf_dir), query_ids=list(range(10)), k=5)
 
 
 def q_ann_lsh(sf_dir: str):
