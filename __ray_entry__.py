@@ -723,6 +723,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_most_common_priority": R.count_most_common_priority,
         "quantity_vector": R.quantity_vector,
         "min_positive_acctbal": R.min_positive_acctbal,
+        "weighted_sum_price": R.weighted_sum_price,
+        "token_count": TX.q_token_count,
+        "ann_ivf": TX.q_ann_ivf,
+        "events_asof_click": R.events_asof_click,
         # --- implementation changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
         "sampled_histogram": _q_sampled_histogram,
@@ -843,6 +847,9 @@ def oracle_sql() -> dict[str, str]:
         "count_most_common_priority": R.COUNT_MOST_COMMON_SQL,
         "quantity_vector": R.QUANTITY_VECTOR_SQL,
         "min_positive_acctbal": R.MIN_POSITIVE_SQL,
+        "weighted_sum_price": R.WEIGHTED_SUM_SQL,
+        "token_count": TX.TOKEN_COUNT_SQL,
+        "events_asof_click": R.ASOF_CLICK_SQL,
         "ann_topk": TX.ANN_TOPK_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,

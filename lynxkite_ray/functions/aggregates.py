@@ -271,13 +271,17 @@ def weighted_sum(
     ds: Dataset, key, value_col: str, weight_col: str, out: str = "weighted_sum"
 ) -> Dataset:
     """Σ(w·x) per key (WeightedSum, Aggregate.scala:316-560) — one computed
-    product column + the built-in distributed Sum."""
+    product column, then the hash-shuffle grouped sum."""
+    from ..stages.shuffle import grouped_aggregate
+
     prod = ds.map_batches(
-        lambda t: t.append_column("_wx", pc.multiply(t[value_col], t[weight_col])),
+        lambda t: pa.table(
+            {key: t[key], "_wx": pc.multiply(t[value_col], t[weight_col])}
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return prod.groupby(key).aggregate(Sum("_wx", alias_name=out))
+    return grouped_aggregate(prod, [key], [("_wx", "sum", out)])
 
 
 def min_max_min_positive(ds: Dataset, key, col: str) -> Dataset:

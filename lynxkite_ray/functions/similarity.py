@@ -9,6 +9,8 @@
 - ``ann_lsh`` — random-hyperplane LSH buckets: sub-quadratic scale path;
   signatures per batch, candidates from same-bucket probes across tables,
   exact re-rank of candidates.
+- ``ann_ivf`` — k-means coarse quantizer + inverted lists: the other scale
+  path (probe nprobe/n_lists of the corpus, exact re-rank inside).
 """
 
 from __future__ import annotations
@@ -162,6 +164,75 @@ def ann_threshold(
         )
 
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_ivf(
+    ds: Dataset,
+    query_ids,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 5,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """IVF (inverted-file) approximate top-k: coarse-quantize with the
+    distributed k-means trainer (models.train_kmeans — per-block Lloyd
+    partials, deterministic init), assign every vector to its
+    max-cosine centroid (stateless tasks against a plasma-resident
+    centroid matrix), probe only the ``nprobe`` centroids closest to
+    each query, exact re-rank inside the probed union.
+
+    The centroid id IS the scale-out partition key: at 10^9+ rows the
+    assignment column hash-partitions the corpus so each probe touches
+    nprobe/n_lists of the data instead of all of it (the same role
+    FAISS's IVF lists play).  ``nprobe == n_lists`` degenerates to the
+    exact ann_bruteforce answer — pinned by test.
+    Returns (query_id, neighbor_id, cos, rank)."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import semi_join
+    from .models import train_kmeans
+
+    C = train_kmeans(
+        ds, k=n_lists, iterations=kmeans_iters, vec_col=vec_col,
+        id_col=id_col, seed=seed,
+    )
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Cn = C / norms
+    cref = ray.put(Cn)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cn_ = ray.get(cref)
+        V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "ivf_list": np.argmax(Vn @ Cn_.T, axis=1).astype(np.int64),
+            }
+        )
+
+    lists = ds.map_batches(assign, batch_format="pyarrow")
+
+    # per-query probe sets from the (tiny) query matrix; probed lists are
+    # the UNION across queries (the re-rank is exact inside it, so extra
+    # lists only raise recall)
+    qid, Qn = _collect_queries(ds, list(query_ids), vec_col, id_col)
+    npb = min(nprobe, n_lists)
+    probe = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :npb]
+    probe_set = pa.array(np.unique(probe).astype(np.int64))
+
+    probed = lists.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=probe_set)).select(
+            [id_col]
+        ),
+        batch_format="pyarrow",
+    )
+    sub = semi_join(ds, probed, on=id_col)
+    return ann_bruteforce(sub, list(qid), k, vec_col, id_col)
 
 
 class _HyperplaneSigner:

@@ -140,6 +140,34 @@ def language_id(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Datas
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# GPT-2-style BPE pre-tokenizer, restricted to constructs RE2 (DuckDB's
+# regex engine, used by the SQL oracle) and Python `re` evaluate
+# identically: no lookahead (GPT-2's `\s+(?!\S)` is dropped — runs of
+# whitespace fold into one token instead of leaving one space for the
+# next word; the count is deterministic either way), ASCII classes
+# instead of \p{L}/\p{N}.  Alternation is leftmost-first in both engines,
+# so contractions bind before the punctuation class.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+
+
+def token_count(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """(id, n_bpe_tokens): token count under the BPE-ish pre-tokenizer —
+    the LLM-pipeline "how many tokens is this corpus" pass.  One C-level
+    findall per document (module-level compiled pattern; stage is
+    stateless, so it runs as tasks, not an actor pool)."""
+
+    def body(t: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len(_BPE_RE.findall(s)) for s in t.column(col).to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.table({id_col: t.column(id_col), "n_bpe_tokens": n})
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprint64(text: str) -> int:
     """Pinned 63-bit blake2b fingerprint of the whitespace-normalized text
     (document fingerprinting for container-level dedup manifests).  One

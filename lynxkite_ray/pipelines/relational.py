@@ -407,6 +407,31 @@ FROM part GROUP BY p_brand
 """
 
 
+def weighted_sum_price(sf_dir: str):
+    """WeightedSum (Aggregate.scala:316-560): per brand Σ(price·size),
+    integerized to cents so both sides sum exact int64."""
+    from ..functions.aggregates import weighted_sum
+
+    part = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    part = part.map_batches(
+        lambda t: pa.table(
+            {"p_brand": t["p_brand"], "cents": _cents(t["p_retailprice"]),
+             "w": pc.cast(t["p_size"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return weighted_sum(part, "p_brand", "cents", "w", out="wsum_cents")
+
+
+WEIGHTED_SUM_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                * CAST(p_size AS BIGINT)) AS BIGINT) AS wsum_cents
+FROM part GROUP BY p_brand
+"""
+
+
 def most_common_priority(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -710,4 +735,40 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
 FROM events GROUP BY event_type
+"""
+
+
+def events_asof_click(sf_dir: str):
+    """Backward as-of join over the event log: for each purchase, the
+    user's most recent click at-or-before it (ties: larger click id)."""
+    from ..stages.join import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = filter_batches(
+        ev, lambda t: pc.equal(t["event_type"], "purchase")
+    ).select_columns(["event_id", "user_id", "ts"])
+    clicks = filter_batches(
+        ev, lambda t: pc.equal(t["event_type"], "click")
+    ).select_columns(["event_id", "user_id", "ts"])
+    j = asof_join(
+        purchases, clicks, by="user_id", on="ts",
+        right_cols=["event_id"], right_tie="event_id", prefix="click_",
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {"event_id": t["event_id"], "click_id": t["click_event_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ASOF_CLICK_SQL = """
+SELECT event_id, click_id FROM (
+  SELECT p.event_id, c.event_id AS click_id,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+) WHERE rn = 1
 """

@@ -30,6 +30,19 @@ def q_text_stats(sf_dir: str):
     return T.text_stats(_docs(sf_dir))
 
 
+def q_token_count(sf_dir: str):
+    return T.token_count(_docs(sf_dir))
+
+
+# Same RE2/`re`-portable pattern on both sides (text.BPE_TOKEN_PATTERN);
+# single quotes doubled for the SQL literal.
+TOKEN_COUNT_SQL = (
+    "SELECT doc_id, len(regexp_extract_all(text, '"
+    + T.BPE_TOKEN_PATTERN.replace("'", "''")
+    + "')) AS n_bpe_tokens FROM documents"
+)
+
+
 # CASE guards: tokenize('') = [] in the engine, but DuckDB's
 # regexp_split_to_array(trim(''), ...) yields [''] (1 token) — blank docs
 # would diverge without them.
@@ -179,6 +192,10 @@ def q_minhash_dedup(sf_dir: str):
 
 def q_ann_lsh(sf_dir: str):
     return S.ann_lsh(_emb(sf_dir), query_ids=list(range(5)), k=5)
+
+
+def q_ann_ivf(sf_dir: str):
+    return S.ann_ivf(_emb(sf_dir), query_ids=list(range(5)), k=5, n_lists=8, nprobe=3)
 
 
 def q_fingerprint_matching(sf_dir: str):

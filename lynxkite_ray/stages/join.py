@@ -191,3 +191,104 @@ def anti_join(big: Dataset, keys, on: str, key_col: str | None = None) -> Datase
         return t.filter(pc.invert(pc.is_in(t[on], value_set=pa.array(vs))))
 
     return big.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    right_tie: str | None = None,
+    prefix: str = "r_",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``on`` ≤ left.``on`` within the same ``by`` key; LEFT
+    semantics (no match → nulls).  A training-data-pipeline addition (no
+    reference ancestor) — the temporal-lookup primitive behind
+    "most recent prior event of kind X".
+
+    Distributed shape: both sides are mapped onto one union schema with a
+    side tag, hash-shuffled by ``by`` (keys block-complete, the one wide
+    step), then each block runs a vectorized sweep — sort by (by, on,
+    side[right first], tie), forward-max the right-row positions, validate
+    the key, gather.  No per-key Python loop; cost is O(rows log rows) per
+    block.
+
+    ``right_tie`` pins equal-``on`` ties (largest value wins — mirrors SQL
+    ``ORDER BY on DESC, tie DESC LIMIT 1``); omit it only when ties are
+    impossible.  ``by``, ``on`` and ``right_tie`` must be numeric or
+    timestamp (numpy-sortable).
+    """
+    from ..context import default_partitions
+    from ..stages.shuffle import COALESCE_BATCH, hash_partition
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    out_right = [prefix + c for c in right_cols]
+
+    # the tie column rides the union as int64 (ints and timestamps cast
+    # losslessly; left rows carry 0 — their tie value is never read)
+    def widen_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"_by": t[by], "_on": t[on], "_side": pa.array(np.ones(n, np.int8)),
+                "_tie": pa.array(np.zeros(n, np.int64))}
+        for c in lcols:
+            cols["l_" + c] = t[c]
+        for c, oc in zip(right_cols, out_right):
+            cols[oc] = pa.nulls(n, rschema.field(c).type)
+        return pa.table(cols)
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tie = (
+            pc.cast(t[right_tie], pa.int64())
+            if right_tie
+            else pa.array(np.zeros(n, np.int64))
+        )
+        cols = {"_by": t[by], "_on": t[on], "_side": pa.array(np.zeros(n, np.int8)),
+                "_tie": tie}
+        for c in lcols:
+            cols["l_" + c] = pa.nulls(n, lschema.field(c).type)
+        for c, oc in zip(right_cols, out_right):
+            cols[oc] = t[c]
+        return pa.table(cols)
+
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    u = left.map_batches(widen_left, **mb).union(right.map_batches(widen_right, **mb))
+    part = hash_partition(u, ["_by"], num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(c, lschema.field(c).type) for c in lcols]
+            + [(oc, rschema.field(c).type) for c, oc in zip(right_cols, out_right)]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        byv = t.column("_by").to_numpy(zero_copy_only=False)
+        onv = t.column("_on").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        tie = t.column("_tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, side, onv, byv))
+        sb, ss = byv[order], side[order]
+        fwd = np.maximum.accumulate(np.where(ss == 0, np.arange(len(order)), -1))
+        lpos = np.flatnonzero(ss == 1)
+        match = fwd[lpos]
+        valid = (match >= 0) & (sb[np.maximum(match, 0)] == sb[lpos])
+        lidx = order[lpos]
+        ridx = np.where(valid, order[np.maximum(match, 0)], 0)
+        r_take = pa.array(ridx, pa.int64(), mask=~valid)
+        cols = {}
+        for c in lcols:
+            cols[c] = t.column("l_" + c).take(pa.array(lidx, pa.int64()))
+        for oc in out_right:
+            cols[oc] = t.column(oc).take(r_take)
+        return pa.table(cols, schema=out_schema)
+
+    return part.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COALESCE_BATCH
+    )

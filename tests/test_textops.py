@@ -140,6 +140,28 @@ def test_ann_lsh_recall():
     assert recall >= 0.5  # approximate by design; clustered data keeps it high
 
 
+def test_ann_ivf_full_probe_is_exact():
+    # nprobe == n_lists probes every inverted list → identical to brute force
+    ds = _clustered_embeddings()
+    exact = S.ann_bruteforce(ds, query_ids=[0, 1, 2], k=5).take_all()
+    ivf = S.ann_ivf(ds, query_ids=[0, 1, 2], k=5, n_lists=4, nprobe=4).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["neighbor_id"], r["rank"]) for r in exact)) == sorted(
+        ((r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf)
+    )
+
+
+def test_ann_ivf_recall_with_narrow_probe():
+    # clustered data: each query's true neighbors share its cluster, so one
+    # probed list out of four already recovers them
+    ds = _clustered_embeddings()
+    exact = S.ann_bruteforce(ds, query_ids=[0, 1, 2], k=5).take_all()
+    ivf = S.ann_ivf(ds, query_ids=[0, 1, 2], k=5, n_lists=4, nprobe=1).take_all()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(e & a) / len(e) >= 0.8
+
+
 # ------------------------------------------------------------- multimodal
 
 
