@@ -701,15 +701,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": ST.q_kmeans_clusters,
         "key_intersection": ST.q_key_intersection,
         "adjacency_lists": ST.q_adjacency_lists,
-        # --- new this round ---
-        "text_embeddings": TX.q_text_embeddings,
-        "text_embedding_ann": TX.q_text_embedding_ann,
+        # --- new this round, SQL-oracled (hash-checkable rows first: the
+        # driver samples ~50, so oracle-bearing entries must not spill) ---
         "string_bucketing": ST.q_string_bucketing,
         "double_bucketing": ST.q_double_bucketing,
         "interval_bucketing": ST.q_interval_bucketing,
         "vertex_bucket_grid": ST.q_vertex_bucket_grid,
         "import_edges_for_existing": ST.q_import_edges_for_existing,
         "pulled_over_attribute": ST.q_pulled_over_attribute,
+        "log_histogram": ST.q_log_histogram,
+        "max_by_priority": R.max_by_priority,
+        "count_most_common_priority": R.count_most_common_priority,
+        "quantity_vector": R.quantity_vector,
+        "min_positive_acctbal": R.min_positive_acctbal,
+        "weighted_sum_price": R.weighted_sum_price,
+        "token_count": TX.q_token_count,
+        "events_asof_click": R.events_asof_click,
+        "ann_topk": TX.q_ann_topk,
+        # --- oracle semantics changed this round: re-verify ---
+        "majority_priority": _q_majority_priority,
+        "sampled_histogram": _q_sampled_histogram,
+        # --- new this round, rows-only (pytest-verified) ---
+        "text_embeddings": TX.q_text_embeddings,
+        "text_embedding_ann": TX.q_text_embedding_ann,
         "modular_tweaks": ST.q_modular_tweaks,
         "pca_embeddings": ST.q_pca,
         "node2vec_embeddings": ST.q_node2vec,
@@ -718,24 +732,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hypermap_coords": ST.q_hypermap_coords,
         "hyperbolic_prediction": ST.q_hyperbolic_prediction,
         "tsne_embeddings": ST.q_tsne,
-        "log_histogram": ST.q_log_histogram,
-        "max_by_priority": R.max_by_priority,
-        "count_most_common_priority": R.count_most_common_priority,
-        "quantity_vector": R.quantity_vector,
-        "min_positive_acctbal": R.min_positive_acctbal,
-        "weighted_sum_price": R.weighted_sum_price,
-        "token_count": TX.q_token_count,
         "ann_ivf": TX.q_ann_ivf,
-        "events_asof_click": R.events_asof_click,
         # --- implementation changed this round: re-verify ---
-        "majority_priority": _q_majority_priority,
-        "sampled_histogram": _q_sampled_histogram,
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,
         "minhash_dedup": TX.q_minhash_dedup,
         "jaccard_pairs": TX.q_jaccard_pairs,
         "embedding_neardup": TX.q_embedding_neardup,
-        "ann_topk": TX.q_ann_topk,
         "ann_lsh": TX.q_ann_lsh,
         "fingerprints": TX.q_fingerprints,
         "hash_join_supplier_nation": R.hash_join_supplier_nation,
