@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sum_price": R.weighted_sum_price,
         "token_count": TX.q_token_count,
         "events_asof_click": R.events_asof_click,
+        "repetition_signals": TX.q_repetition_signals,
         "ann_topk": TX.q_ann_topk,
         # --- oracle semantics changed this round: re-verify ---
         "majority_priority": _q_majority_priority,
@@ -853,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sum_price": R.WEIGHTED_SUM_SQL,
         "token_count": TX.TOKEN_COUNT_SQL,
         "events_asof_click": R.ASOF_CLICK_SQL,
+        "repetition_signals": TX.REPETITION_SQL,
         "ann_topk": TX.ANN_TOPK_SQL,
         "text_stats": TX.TEXT_STATS_SQL,
         "quality_signals": TX.QUALITY_SQL,

@@ -140,6 +140,43 @@ def language_id(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Datas
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_signals(
+    ds: Dataset, col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Gopher-style repetition quality signals (Rae et al. 2021, app. A —
+    public paper; the "repetitious documents are low quality" filters):
+    per document, (a) ``dup_word_frac`` — the fraction of token
+    occurrences whose token appears more than once, and (b)
+    ``top_bigram_frac`` — the share of word bigrams taken by the most
+    common bigram.  Both in [0,1], rounded to 6 dp on both sides of the
+    oracle.  Per-doc Counter passes are C-level dict ops over the
+    already-split token list — same cost class as text_stats."""
+    from collections import Counter
+
+    def body(t: pa.Table) -> pa.Table:
+        texts = t.column(col).to_pylist()
+        dup = np.zeros(len(texts))
+        top = np.zeros(len(texts))
+        for i, s in enumerate(texts):
+            toks = tokenize(s)
+            if not toks:
+                continue
+            c = Counter(toks)
+            dup[i] = sum(v for v in c.values() if v > 1) / len(toks)
+            if len(toks) >= 2:
+                bc = Counter(zip(toks, toks[1:]))
+                top[i] = max(bc.values()) / (len(toks) - 1)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "dup_word_frac": round_away(dup, 6),
+                "top_bigram_frac": round_away(top, 6),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # GPT-2-style BPE pre-tokenizer, restricted to constructs RE2 (DuckDB's
 # regex engine, used by the SQL oracle) and Python `re` evaluate
 # identically: no lookahead (GPT-2's `\s+(?!\S)` is dropped — runs of

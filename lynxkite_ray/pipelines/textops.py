@@ -34,6 +34,44 @@ def q_token_count(sf_dir: str):
     return T.token_count(_docs(sf_dir))
 
 
+def q_repetition_signals(sf_dir: str):
+    return T.repetition_signals(_docs(sf_dir))
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) != ''
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS word FROM toks) GROUP BY doc_id, word
+),
+dup AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / SUM(c), 6)
+           AS dup_word_frac
+  FROM wc GROUP BY doc_id
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+        FROM toks WHERE len(w) >= 2)
+  GROUP BY doc_id, bg
+),
+top AS (
+  SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(dup.dup_word_frac, 0.0) AS dup_word_frac,
+       COALESCE(top.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM documents d
+LEFT JOIN dup ON d.doc_id = dup.doc_id
+LEFT JOIN top ON d.doc_id = top.doc_id
+"""
+
+
 # Same RE2/`re`-portable pattern on both sides (text.BPE_TOKEN_PATTERN);
 # single quotes doubled for the SQL literal.
 TOKEN_COUNT_SQL = (
