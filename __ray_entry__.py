@@ -734,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperbolic_prediction": ST.q_hyperbolic_prediction,
         "tsne_embeddings": ST.q_tsne,
         "ann_ivf": TX.q_ann_ivf,
+        "winnowing_fingerprints": TX.q_winnowing_fingerprints,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,

@@ -229,3 +229,70 @@ def fingerprints(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Data
         return pa.table({id_col: t.column(id_col), "fingerprint": fps})
 
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- winnowing
+# Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003, public paper).  Guarantee: every window of
+# `window` consecutive k-gram hashes contributes at least one selected
+# fingerprint, so any shared substring of length >= k + window - 1 between
+# two documents shares at least one fingerprint.
+
+_WIN_BASE = np.uint64(1000003)
+_WIN_MASK = np.uint64((1 << 61) - 1)
+
+
+def _kgram_hashes(s: str, k: int) -> np.ndarray:
+    """Polynomial hashes of all k-char shingles, vectorized: the (n, k)
+    codepoint window view times the power vector in uint64 wraparound
+    arithmetic, masked to 61 bits.  Document-independent (equal shingles
+    hash equal across documents — the property winnowing matching needs);
+    cost is k·n multiply-adds with small constant k."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cp)
+    if n < k:
+        return np.empty(0, np.uint64)
+    powers = _WIN_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    h = (sliding_window_view(cp, k) * powers).sum(axis=1, dtype=np.uint64)
+    return h & _WIN_MASK
+
+
+def winnowing_fingerprints(
+    ds: Dataset,
+    k: int = 5,
+    window: int = 4,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(id, fingerprint) exploded rows: the winnowed (distinct) minima of
+    the k-gram rolling-hash sequence, one selection per sliding window —
+    the MOSS-style local fingerprint set for substring-level near-dup /
+    containment detection (complements the global blake2 fingerprint64
+    and shingle-set MinHash)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def body(t: pa.Table) -> pa.Table:
+        ids_out, fps_out = [], []
+        ids = t.column(id_col).to_numpy()
+        for i, s in enumerate(t.column(col).to_pylist()):
+            h = _kgram_hashes(s, k)
+            if len(h) == 0:
+                continue
+            if len(h) <= window:
+                sel = np.array([h.min()])
+            else:
+                sel = np.unique(sliding_window_view(h, window).min(axis=1))
+            fps_out.append(sel.astype(np.int64))
+            ids_out.append(np.full(len(sel), ids[i], np.int64))
+        if not ids_out:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "fingerprint": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {id_col: np.concatenate(ids_out), "fingerprint": np.concatenate(fps_out)}
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)

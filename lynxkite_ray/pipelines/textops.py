@@ -38,6 +38,10 @@ def q_repetition_signals(sf_dir: str):
     return T.repetition_signals(_docs(sf_dir))
 
 
+def q_winnowing_fingerprints(sf_dir: str):
+    return T.winnowing_fingerprints(_docs(sf_dir))
+
+
 REPETITION_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -351,3 +351,36 @@ def test_text_embeddings_deterministic_and_ann():
     by_rank = sorted(top, key=lambda r: r["rank"])
     # duplicates of text 0 (ids 4, 8, 12, 16) fill the top ranks with cos 1
     assert by_rank[0]["cos"] == 1.0 and by_rank[0]["neighbor_id"] in (4, 8, 12, 16)
+
+
+def test_winnowing_shared_substring_guarantee():
+    # Winnowing guarantee: any shared substring of length >= k + window - 1
+    # produces at least one shared fingerprint; disjoint alphabets share none.
+    import ray.data as rd
+    from lynxkite_ray.functions.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "AAA " + shared + " BBB"},
+            {"doc_id": 1, "text": "xyz " + shared + " uvw"},
+            {"doc_id": 2, "text": "0123456789!@#$%^&*()"},
+        ]
+    )
+    rows = winnowing_fingerprints(docs, k=5, window=4).take_all()
+    fp = {i: {r["fingerprint"] for r in rows if r["doc_id"] == i} for i in range(3)}
+    assert fp[0] & fp[1], "docs sharing a long substring must share a fingerprint"
+    assert not (fp[0] & fp[2]) and not (fp[1] & fp[2])
+
+
+def test_winnowing_deterministic_and_dense():
+    import ray.data as rd
+    from lynxkite_ray.functions.text import winnowing_fingerprints, _kgram_hashes
+
+    txt = "abcdefg hijklmn opqrstu" * 3
+    ds = rd.from_items([{"doc_id": 7, "text": txt}])
+    a = sorted(r["fingerprint"] for r in winnowing_fingerprints(ds).take_all())
+    b = sorted(r["fingerprint"] for r in winnowing_fingerprints(ds).take_all())
+    assert a == b and len(a) >= len(txt) // 10  # one pick per window survives
+    # hashes are position/document independent
+    assert _kgram_hashes("XXabcdeYY", 5)[2] == _kgram_hashes("abcde", 5)[0]
