@@ -88,7 +88,13 @@ def embed_text(
 
     if concurrency is None:
         concurrency = pool_size()
-    return ds.select_columns([id_col, col]).map_batches(
+    # small parquet inputs arrive as 1-2 blocks, which would starve the
+    # actor pool (same spread as minhash_dedup); the projection is
+    # materialized anyway before an all-actor stage
+    ds = ds.select_columns([id_col, col]).materialize()
+    if ds.num_blocks() < concurrency:
+        ds = ds.repartition(concurrency).materialize()
+    return ds.map_batches(
         TextEmbedder,
         fn_constructor_kwargs=dict(
             dim=dim, col=col, id_col=id_col, model_factory=model_factory
