@@ -670,6 +670,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # FIRST, then the ones whose implementation changed most recently, then
     # the repeatedly-verified backbone.
     return {
+        # --- new in round 3 (never driver-checked) ---
+        "pii_scrub": TX.q_pii_scrub,
+        "vocab_topk": TX.q_vocab_topk,
+        "events_sliding_window": R.events_sliding_window,
+        "events_followup_count": R.events_followup_count,
+        "corr_qty_price": R.corr_qty_price,
         # --- never driver-checked through round 2 (union-coverage gap) ---
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -811,6 +817,11 @@ def oracle_sql() -> dict[str, str]:
     from lynxkite_ray.pipelines import structure as ST
 
     rel = {
+        "pii_scrub": TX.PII_SCRUB_SQL,
+        "vocab_topk": TX.VOCAB_TOPK_SQL,
+        "events_sliding_window": R.SLIDING_WINDOW_SQL,
+        "events_followup_count": R.FOLLOWUP_SQL,
+        "corr_qty_price": R.CORR_SQL,
         "elementwise_mean": ELEMENTWISE_SQL,
         "elementwise_max": ELEMENTWISE_MAX_SQL,
         "linear_regression": LINREG_SQL,

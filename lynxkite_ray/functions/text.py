@@ -296,3 +296,72 @@ def winnowing_fingerprints(
         )
 
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- PII scrubbing
+# Both patterns are RE2-safe (no lookaround, ASCII classes) so the Arrow
+# compute kernels (RE2) and the DuckDB oracle (also RE2) find the exact
+# same leftmost non-overlapping matches.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """(id, clean_text, n_emails, n_ips): redact emails then IPv4 literals
+    with fixed tokens — the C4/Dolma-style pre-training PII pass.  Fully
+    zero-copy Arrow: `replace_substring_regex` / `count_substring_regex`
+    are RE2 kernels over the string buffer, no Python per row.  Emails are
+    replaced before IPs so an address inside an email's domain never
+    double-counts; the SQL oracle nests its regexp_replace the same way."""
+    import pyarrow.compute as pc
+
+    def body(t: pa.Table) -> pa.Table:
+        txt = t.column(col)
+        n_emails = pc.count_substring_regex(txt, PII_EMAIL_PATTERN)
+        no_email = pc.replace_substring_regex(txt, PII_EMAIL_PATTERN, "<EMAIL>")
+        n_ips = pc.count_substring_regex(no_email, PII_IPV4_PATTERN)
+        clean = pc.replace_substring_regex(no_email, PII_IPV4_PATTERN, "<IP>")
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "clean_text": clean,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_ips": pc.cast(n_ips, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_topk(
+    ds: Dataset, k: int = 50, col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """(token, cnt): the k most frequent whitespace tokens across the
+    corpus — the vocabulary/frequency pass that seeds tokenizer training.
+    Combiner-style: each batch emits its LOCAL token counts (one Counter
+    pass, C-level dict ops), so the groupby shuffles per-batch partials
+    instead of one row per token occurrence; the grouped table is tiny by
+    comparison and the final top-k is a sort+limit over it.  Ties pinned
+    by token ascending."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column(col).to_pylist():
+            c.update(tokenize(s))
+        if not c:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "cnt": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)

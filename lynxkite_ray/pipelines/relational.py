@@ -772,3 +772,194 @@ SELECT event_id, click_id FROM (
     ON p.user_id = c.user_id AND c.ts <= p.ts
 ) WHERE rn = 1
 """
+
+
+# ------------------------------------------------ time-banded windows / joins
+# Shared kernel for the sliding-window aggregate and the banded range
+# self-join: after a key shuffle by user, each block holds complete users;
+# lexsort by (user, ts) and fold the pair into ONE monotone int64 axis
+# (rel_ts + segment * span with span > rel_range + band) so a single
+# np.searchsorted resolves every row's window bounds without crossing user
+# boundaries — no per-user Python loop, no window ever reaching a
+# neighboring segment (the +band headroom in `span` guarantees it).
+
+
+def _user_time_axis(u: np.ndarray, ts_us: np.ndarray, band_us: int):
+    """Returns (order, comp) — the lexsort permutation by (u, ts) and the
+    folded monotone composite axis.  Falls back to per-segment offsets only
+    if the fold would overflow int64 (≈ never: span·users < 2^62)."""
+    order = np.lexsort((ts_us, u))
+    us, tss = u[order], ts_us[order]
+    seg = np.zeros(len(us), dtype=np.int64)
+    if len(us) > 1:
+        seg[1:] = np.cumsum(us[1:] != us[:-1])
+    rel = tss - tss.min()
+    span = int(rel.max()) + band_us + 1
+    if span * (int(seg[-1]) + 1) >= (1 << 62):  # pragma: no cover
+        raise OverflowError("time axis fold overflows int64; rebase timestamps")
+    return order, rel + seg * span
+
+
+def events_sliding_window(sf_dir: str, window_minutes: int = 60):
+    """Per event: count and value-sum of the same user's events in the
+    trailing window [ts − window, ts] — the RANGE-window rolling aggregate
+    (peers at the same ts included, matching SQL RANGE ... CURRENT ROW).
+    One key shuffle by user, then per-block vectorized searchsorted over
+    the folded (user, ts) axis + prefix sums; no per-row or per-user
+    Python.  At cluster scale each block is one user hash range — the same
+    partitioning contract as sessionize/asof."""
+    from ..stages.shuffle import hash_partition
+
+    band = window_minutes * 60 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    part = hash_partition(ev, ["user_id"])
+
+    def win(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_window": pa.array([], pa.int64()),
+                    "sum_window_cents": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy()
+        order, comp = _user_time_axis(u, ts, band)
+        cents = cents[order]
+        lo = np.searchsorted(comp, comp - band, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        prefix = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table(
+            {
+                "event_id": ids[order],
+                "n_window": (hi - lo).astype(np.int64),
+                "sum_window_cents": prefix[hi] - prefix[lo],
+            }
+        )
+
+    return part.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SLIDING_WINDOW_SQL = """
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_window_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_followup_count(sf_dir: str, band_minutes: int = 5):
+    """Banded range self-join: for every click, how many same-user events
+    (any type) land strictly after it within `band_minutes` — the bounded
+    non-equi join (LEFT semantics: clicks with no follow-up count 0).
+    Same folded-axis kernel as the sliding window; the band bound is what
+    keeps the join linear instead of quadratic."""
+    from ..stages.shuffle import hash_partition
+
+    band = band_minutes * 60 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    part = hash_partition(ev, ["user_id"])
+
+    def followups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_followups": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ids = t.column("event_id").to_numpy()
+        is_click = pc.equal(t["event_type"], "click").to_numpy(zero_copy_only=False)
+        order, comp = _user_time_axis(u, ts, band)
+        click_pos = np.flatnonzero(is_click[order])
+        lo = np.searchsorted(comp, comp[click_pos], side="right")
+        hi = np.searchsorted(comp, comp[click_pos] + band, side="right")
+        return pa.table(
+            {
+                "event_id": ids[order][click_pos],
+                "n_followups": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return part.map_batches(followups, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FOLLOWUP_SQL = """
+SELECT p.event_id, CAST(COUNT(e2.event_id) AS BIGINT) AS n_followups
+FROM events p
+LEFT JOIN events e2
+  ON e2.user_id = p.user_id
+ AND e2.ts > p.ts AND e2.ts <= p.ts + INTERVAL 5 MINUTE
+WHERE p.event_type = 'click'
+GROUP BY p.event_id
+"""
+
+
+def corr_qty_price(sf_dir: str):
+    """Sample correlation of quantity vs extended price per return flag —
+    the Corr/Covar aggregate family via the five per-block moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy²); Ray's hash aggregate combines partials
+    map-side, the finalize runs over the tiny grouped table."""
+    from ..util import round_away
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.float64())
+        y = pc.cast(t["l_extendedprice"], pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+            }
+        )
+
+    g = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = g.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"),
+        Sum("x", alias_name="sx"),
+        Sum("y", alias_name="sy"),
+        Sum("xy", alias_name="sxy"),
+        Sum("xx", alias_name="sxx"),
+        Sum("yy", alias_name="syy"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.float64)
+        sx = t.column("sx").to_numpy()
+        sy = t.column("sy").to_numpy()
+        sxy = t.column("sxy").to_numpy()
+        sxx = t.column("sxx").to_numpy()
+        syy = t.column("syy").to_numpy()
+        r = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "corr_qty_price": round_away(r, 6),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -288,3 +288,43 @@ def q_text_embedding_ann(sf_dir: str):
     return S.ann_bruteforce(
         emb, query_ids=list(range(5)), k=3, vec_col="embedding", id_col="doc_id"
     )
+
+
+# ------------------------------------------------------------ PII / vocab
+
+
+def q_pii_scrub(sf_dir: str):
+    return T.pii_scrub(_docs(sf_dir))
+
+
+# The oracle nests regexp_replace the same way the engine does (emails
+# first, then IPs on the already-scrubbed text); both sides are RE2.
+PII_SCRUB_SQL = rf"""
+SELECT doc_id,
+       regexp_replace(no_email, '{T.PII_IPV4_PATTERN}', '<IP>', 'g')
+           AS clean_text,
+       n_emails,
+       CAST(len(regexp_extract_all(no_email, '{T.PII_IPV4_PATTERN}'))
+            AS BIGINT) AS n_ips
+FROM (
+  SELECT doc_id,
+         regexp_replace(text, '{T.PII_EMAIL_PATTERN}', '<EMAIL>', 'g')
+             AS no_email,
+         CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_PATTERN}'))
+              AS BIGINT) AS n_emails
+  FROM documents
+)
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    return T.vocab_topk(_docs(sf_dir), k=50)
+
+
+VOCAB_TOPK_SQL = r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) != ''
+)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50
+"""
