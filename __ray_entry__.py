@@ -676,6 +676,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": R.events_sliding_window,
         "events_followup_count": R.events_followup_count,
         "corr_qty_price": R.corr_qty_price,
+        "event_lag": R.event_lag,
+        "cumulative_revenue": R.cumulative_revenue,
+        "pivot_order_counts": R.pivot_order_counts,
+        "grouped_quantile": R.grouped_quantile,
+        "stratified_sample": R.stratified_sample_customers,
+        "ngram_contamination": TX.q_ngram_contamination,
         # --- never driver-checked through round 2 (union-coverage gap) ---
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -741,6 +747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tsne_embeddings": ST.q_tsne,
         "ann_ivf": TX.q_ann_ivf,
         "winnowing_fingerprints": TX.q_winnowing_fingerprints,
+        "host_graph_pagerank": FS.q_host_graph_pagerank,
+        "core_numbers": ST.q_core_numbers,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,
@@ -822,6 +830,12 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": R.SLIDING_WINDOW_SQL,
         "events_followup_count": R.FOLLOWUP_SQL,
         "corr_qty_price": R.CORR_SQL,
+        "event_lag": R.EVENT_LAG_SQL,
+        "cumulative_revenue": R.CUMULATIVE_REVENUE_SQL,
+        "pivot_order_counts": R.PIVOT_SQL,
+        "grouped_quantile": R.GROUPED_QUANTILE_SQL,
+        "stratified_sample": R.STRATIFIED_SAMPLE_SQL,
+        "ngram_contamination": TX.NGRAM_CONTAMINATION_SQL,
         "elementwise_mean": ELEMENTWISE_SQL,
         "elementwise_max": ELEMENTWISE_MAX_SQL,
         "linear_regression": LINREG_SQL,

@@ -3,3 +3,4 @@ from .pagerank import pagerank, pagerank_dataset  # noqa: F401
 from .components import connected_components, connected_components_dataset  # noqa: F401
 from .labelprop import label_propagation, label_propagation_dataset  # noqa: F401
 from .triangles import embeddedness, triangle_count, triangles_per_vertex  # noqa: F401
+from .kcore import core_number, k_core  # noqa: F401

@@ -365,3 +365,112 @@ def vocab_topk(
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     counts = partials.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------- benchmark decontamination
+# Word-n-gram overlap of every corpus document against a benchmark document
+# set — the standard "did the training corpus leak the eval set" check
+# (GPT-3 appendix-C / Dolma-style n-gram decontamination, public method).
+
+_GRAM_BASE = np.uint64(1000003)
+_GRAM_INV = np.uint64(pow(1000003, -1, 1 << 64))  # base is odd → invertible
+
+
+def _wordgram_hashes(s: str, n: int) -> np.ndarray:
+    """Polynomial hashes of all word n-grams of the whitespace-normalized
+    text, fully vectorized: ONE prefix-hash pass over the codepoints, then
+    variable-length window hashes via modular-inverse rebasing in uint64
+    wraparound arithmetic (the base is odd, so B⁻¹ mod 2⁶⁴ exists) — no
+    per-gram string building, no per-token hashing loop.  Equal gram
+    strings hash equal across documents."""
+    ns = " ".join(tokenize(s))
+    if not ns:
+        return np.empty(0, np.int64)
+    cp = np.frombuffer(ns.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    sp = np.flatnonzero(cp == 32)  # tokens never contain whitespace
+    starts = np.concatenate(([0], sp + 1))
+    if len(starts) < n:
+        return np.empty(0, np.int64)
+    ends = np.concatenate((sp, [len(cp)]))
+    a = starts[: len(starts) - n + 1]
+    b = ends[n - 1 :]
+    m = len(cp)
+    bpow = np.empty(m + 1, np.uint64)
+    bpow[0] = 1
+    np.cumprod(np.full(m, _GRAM_BASE, np.uint64), out=bpow[1:])
+    ipow = np.empty(m + 1, np.uint64)
+    ipow[0] = 1
+    np.cumprod(np.full(m, _GRAM_INV, np.uint64), out=ipow[1:])
+    pre = np.empty(m + 1, np.uint64)
+    pre[0] = 0
+    np.cumsum(cp * bpow[:-1], out=pre[1:])
+    return (((pre[b] - pre[a]) * ipow[a])).view(np.int64)
+
+
+def ngram_contamination(
+    corpus: Dataset,
+    bench: Dataset,
+    n: int = 8,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(id, n_grams, n_contaminated, contaminated_frac) per corpus document:
+    how many of its word n-grams (occurrence-counted, matching the SQL
+    LEFT-JOIN semantics) appear anywhere in the benchmark set.  Documents
+    with fewer than n tokens are omitted (no gram to check).
+
+    Scale shape: the benchmark gram-hash set is built once (per-block
+    unique → one driver merge — benchmarks are small by definition) and
+    broadcast via ray.put; the corpus side is a single streaming
+    map_batches with a vectorized searchsorted membership test per batch.
+    No corpus-side shuffle at all."""
+    import ray
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        hs = [_wordgram_hashes(s, n) for s in t.column(col).to_pylist()]
+        hs = [h for h in hs if len(h)]
+        u = (
+            np.unique(np.concatenate(hs))
+            if hs
+            else np.empty(0, np.int64)
+        )
+        return pa.table({"g": u})
+
+    parts = ray.get(
+        bench.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .to_arrow_refs()
+    )
+    arrs = [t.column("g").to_numpy() for t in parts if t.num_rows]
+    bench_set = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+    bench_ref = ray.put(bench_set)
+
+    def score(t: pa.Table) -> pa.Table:
+        bs = ray.get(bench_ref)
+        ids = t.column(id_col).to_numpy()
+        out_id, out_n, out_c = [], [], []
+        for i, s in enumerate(t.column(col).to_pylist()):
+            h = _wordgram_hashes(s, n)
+            if len(h) == 0:
+                continue
+            pos = np.searchsorted(bs, h)
+            pos[pos == len(bs)] = 0
+            hit = int(np.count_nonzero(bs[pos] == h)) if len(bs) else 0
+            out_id.append(ids[i])
+            out_n.append(len(h))
+            out_c.append(hit)
+        n_g = np.asarray(out_n, dtype=np.int64)
+        n_c = np.asarray(out_c, dtype=np.int64)
+        frac = round_away(
+            n_c / np.maximum(n_g, 1).astype(np.float64), 6
+        ) if len(n_g) else np.empty(0, np.float64)
+        return pa.table(
+            {
+                id_col: np.asarray(out_id, dtype=np.int64),
+                "n_grams": n_g,
+                "n_contaminated": n_c,
+                "contaminated_frac": frac,
+            }
+        )
+
+    return corpus.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -112,3 +112,120 @@ def q_pages_extract_text(sf_dir: str):
     path = pages_parquet(_sf_pages(sf_dir), 42)
     pages = rd.read_parquet(path, columns=["url", "html"])
     return extract_texts(pages)
+
+# ---------------------------------------------------------------- host graph
+# Common-Crawl-style host-level contraction of the page link graph: the
+# classic "host graph" job (page urls → registrable hosts, edge weight =
+# number of page-level links).  The contraction is the scale move — hosts
+# are orders of magnitude fewer than pages (10^7-10^8 vs 10^12), so the
+# host graph's dense PageRank path stays driver-resident long after the
+# page graph has crossed into Dataset mode.
+
+_HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<host>[^/?#]+)"
+
+
+def _host_of(url_col):
+    """Arrow-native host extraction (RE2 kernel, no Python per row)."""
+    import pyarrow.compute as pc
+
+    return pc.struct_field(pc.extract_regex(url_col, _HOST_PATTERN), "host")
+
+
+def host_edges(links_ds):
+    """links Dataset (src_url, dst_url, …) → weighted host edge table
+    (src_host, dst_host, weight = number of DISTINCT page-level (src, dst)
+    edges between the hosts — same dedup semantics as links_to_edges, so
+    the weight is well-defined against the crawl regardless of how many
+    times a page repeats a link).  Sentinel rows (dst_url = "", link-less
+    pages) and unparseable urls are dropped: a host exists in the host
+    graph iff at least one page-level link touches it.  One dedup shuffle
+    on the url pair (per-block pre-dedup shrinks blocks first), then the per-batch Arrow
+    regex + ONE hash aggregate — the contraction happens before any graph
+    machinery sees the data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import distinct, grouped_aggregate
+
+    def keep_links(t: pa.Table) -> pa.Table:
+        return t.select(["src_url", "dst_url"]).filter(
+            pc.not_equal(t["dst_url"], "")
+        )
+
+    pairs = distinct(
+        links_ds.map_batches(keep_links, batch_format="pyarrow", zero_copy_batch=True),
+        ["src_url", "dst_url"],
+    )
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        sh = _host_of(t["src_url"])
+        dh = _host_of(t["dst_url"])
+        ok = pc.and_(sh.is_valid(), dh.is_valid())
+        return pa.table({"src_host": sh, "dst_host": dh}).filter(ok)
+
+    hosts = pairs.map_batches(to_hosts, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(
+        hosts, ["src_host", "dst_host"], [("src_host", "count", "weight")]
+    )
+
+
+def host_graph_pagerank(sf_dir: str, iterations: int = 10):
+    """Host-level weighted PageRank over the synthetic crawl: contract the
+    page link graph to hosts, run weighted PR (per-src weight
+    normalization), join host names back via the distinct host dim — no
+    driver-side name dict, the id→name mapping stays a Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ids import hash64_array
+    from ..stages.join import hash_join
+    from ..stages.shuffle import distinct
+    from ..util import round_away
+
+    n = _sf_pages(sf_dir)
+    path = pages_parquet(n, 42)
+    pages = rd.read_parquet(path, columns=["url", "html"])
+    links = extract_links(pages)
+    he = host_edges(links).materialize()
+
+    def with_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(hash64_array(t.column("src_host").to_pylist())),
+                "dst": pa.array(hash64_array(t.column("dst_host").to_pylist())),
+                "weight": pc.cast(t["weight"], pa.float64()),
+            }
+        )
+
+    eids = he.map_batches(with_ids, batch_format="pyarrow", zero_copy_batch=True)
+    g = Graph.from_edges(eids, weight_col="weight")
+    ranks = pagerank(g, damping=0.85, iterations=iterations)
+
+    def dim_block(t: pa.Table) -> pa.Table:
+        hs = pa.concat_arrays(
+            [
+                t.column("src_host").combine_chunks().cast(pa.string()),
+                t.column("dst_host").combine_chunks().cast(pa.string()),
+            ]
+        )
+        u = pc.unique(hs)
+        return pa.table(
+            {"host_id": pa.array(hash64_array(u.to_pylist())), "host": u}
+        )
+
+    dim = distinct(
+        he.map_batches(dim_block, batch_format="pyarrow", zero_copy_batch=True),
+        ["host_id", "host"],
+    )
+    rank_ds = rd.from_arrow(
+        pa.table({"host_id": g.vids, "host_rank": round_away(ranks, 6)})
+    )
+    return hash_join(rank_ds, dim, on="host_id").select_columns(
+        ["host", "host_rank"]
+    )
+
+
+def q_host_graph_pagerank(sf_dir: str):
+    """Rows-only driver query (pages are synthesized, not SQL views);
+    pytest pins the contraction against a pure-python host-graph oracle."""
+    return host_graph_pagerank(sf_dir)

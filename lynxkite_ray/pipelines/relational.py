@@ -963,3 +963,239 @@ SELECT l_returnflag,
        ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag
 """
+
+def event_lag(sf_dir: str):
+    """Per event: microseconds since the same user's previous event (the
+    LAG window function; first event of a user → -1 sentinel so the column
+    stays non-null int64 for the hash gate).  One key shuffle by user, then
+    a per-block lexsort + vectorized diff — the partition-local window
+    pattern shared with sessionize (reference SQL surface: LAG OVER
+    PARTITION BY, ExecuteSQL analog)."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    part = hash_partition(ev, ["user_id"])
+
+    def lag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ids = t.column("event_id").to_numpy()
+        order = np.lexsort((ids, ts, u))
+        u, ts, ids = u[order], ts[order], ids[order]
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(u[1:] == u[:-1], ts[1:] - ts[:-1], -1)
+        return pa.table({"event_id": ids, "gap_us": gap})
+
+    return part.map_batches(lag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENT_LAG_SQL = """
+SELECT event_id,
+       CAST(COALESCE(date_diff('microsecond',
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+           -1) AS BIGINT) AS gap_us
+FROM events
+"""
+
+
+def cumulative_revenue(sf_dir: str):
+    """Per order: running total-price sum (exact cents) of the same
+    customer's orders up to and including this one, ordered by
+    (o_orderdate, o_orderkey) — the cumulative / prefix-sum window
+    aggregate (SUM OVER ROWS UNBOUNDED PRECEDING).  Key shuffle by
+    customer, then per-block lexsort + one segmented cumsum."""
+    from ..stages.shuffle import hash_partition
+
+    o = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    part = hash_partition(o, ["o_custkey"])
+
+    def cum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "cum_revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        c = t.column("o_custkey").to_numpy()
+        d = t.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+        k = t.column("o_orderkey").to_numpy()
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, d, c))
+        c, k, cents = c[order], k[order], cents[order]
+        cs = np.cumsum(cents)
+        brk = np.empty(len(c), dtype=bool)
+        brk[0] = True
+        brk[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(c)))
+        base = np.repeat(cs[starts] - cents[starts], counts)
+        return pa.table(
+            {
+                "o_orderkey": k,
+                "cum_revenue_cents": (cs - base).astype(np.int64),
+            }
+        )
+
+    return part.map_batches(cum, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CUMULATIVE_REVENUE_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+FROM orders
+"""
+
+
+def pivot_order_counts(sf_dir: str):
+    """Pivot / crosstab: order counts per priority, spread over status
+    columns (n_open / n_fulfilled / n_partial) — the indicator-column
+    pattern: per-batch 0/1 casts, then ONE hash aggregate of sums, no
+    per-status passes."""
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t["o_orderstatus"]
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o": pc.cast(pc.equal(s, "O"), pa.int64()),
+                "f": pc.cast(pc.equal(s, "F"), pa.int64()),
+                "p": pc.cast(pc.equal(s, "P"), pa.int64()),
+            }
+        )
+
+    g = o.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = g.groupby("o_orderpriority").aggregate(
+        Sum("o", alias_name="n_open"),
+        Sum("f", alias_name="n_fulfilled"),
+        Sum("p", alias_name="n_partial"),
+        Count(alias_name="n_total"),
+    )
+    return agg
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def grouped_quantile(sf_dir: str):
+    """Exact per-group quantiles (p50 / p90 of event value per event type,
+    linear interpolation — quantile_cont semantics).  Key shuffle by type
+    makes each group block-complete, then one in-block sort serves every
+    quantile; groups are few, values are many (the regime where exact
+    beats a sketch — see sampled_histogram for the opposite regime)."""
+    from ..stages.shuffle import hash_partition
+    from ..util import round_away
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    part = hash_partition(ev, ["event_type"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "p50_value": pa.array([], pa.float64()),
+                    "p90_value": pa.array([], pa.float64()),
+                }
+            )
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        vals = t.column("value").to_numpy()
+        order = np.argsort(types, kind="stable")
+        types, vals = types[order], vals[order]
+        brk = np.empty(len(types), dtype=bool)
+        brk[0] = True
+        brk[1:] = types[1:] != types[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(types))
+        out_t, p50, p90 = [], [], []
+        for s, e in zip(starts, ends):  # loop over groups, not rows
+            g = np.sort(vals[s:e])
+            out_t.append(types[s])
+            p50.append(_quantile_cont(g, 0.5))
+            p90.append(_quantile_cont(g, 0.9))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, type=pa.string()),
+                "p50_value": round_away(np.asarray(p50), 6),
+                "p90_value": round_away(np.asarray(p90), 6),
+            }
+        )
+
+    return part.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _quantile_cont(sorted_vals: np.ndarray, q: float) -> float:
+    """quantile_cont / np.quantile 'linear': h = (n-1)q, interpolate
+    between floor(h) and ceil(h).  Spelled out so the oracle contract is
+    explicit rather than delegated to np.quantile version behavior."""
+    n = len(sorted_vals)
+    h = (n - 1) * q
+    lo = int(np.floor(h))
+    hi = int(np.ceil(h))
+    frac = h - lo
+    return float(sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac)
+
+
+GROUPED_QUANTILE_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+
+# Per-stratum keep-thresholds on the 32-bit Knuth-hash ring: AUTOMOBILE 20%,
+# BUILDING 10%, everything else 5% (floor(frac * 2^32), pinned integers so
+# the SQL oracle and the numpy filter compare the exact same values).
+_STRATA_THRESHOLDS = {"AUTOMOBILE": 858993459, "BUILDING": 429496729}
+_STRATA_DEFAULT = 214748364
+
+
+def stratified_sample_customers(sf_dir: str):
+    """Deterministic stratified sampling: keep a per-segment fraction of
+    customers chosen by a Knuth multiplicative hash of the key — the
+    SQL-expressible cousin of AddRandomAttribute + VertexAttributeFilter
+    (same rule on both sides, so the sample is oracle-checkable and stable
+    across runs/partitionings, unlike rand()).  Pure per-batch filter: no
+    shuffle, no state."""
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.uint64)
+        h = (k * np.uint64(2654435761)) % np.uint64(4294967296)
+        seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        thr = np.full(len(k), _STRATA_DEFAULT, dtype=np.uint64)
+        for name, v in _STRATA_THRESHOLDS.items():
+            thr[seg == name] = v
+        return t.filter(pa.array(h < thr))
+
+    return c.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE (c_custkey * 2654435761) % 4294967296 <
+      CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 858993459
+                        WHEN 'BUILDING'   THEN 429496729
+                        ELSE 214748364 END
+"""

@@ -992,3 +992,13 @@ def q_gcn_regression(sf_dir: str):
     edges = copurchase_edges(sf_dir)
     model = train_gcn_regressor(edges, f, ["sz"], "y", epochs=80)
     return predict_gcn_regressor(edges, f, model, ["sz"])
+
+
+def q_core_numbers(sf_dir: str):
+    """k-core decomposition of the co-purchase graph — rows-only (iterative
+    peeling is not SQL-expressible; pytest pins against a naive oracle)."""
+    from ..functions.graph import core_number
+
+    from .copurchase import copurchase_edges
+
+    return core_number(copurchase_edges(sf_dir))

@@ -328,3 +328,46 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
 )
 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50
 """
+
+
+def q_ngram_contamination(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    benchmark set; every other doc reports its 8-gram overlap."""
+    import numpy as np
+    import pyarrow as pa
+
+    docs = _docs(sf_dir)
+
+    def _mod_filter(keep_zero: bool):
+        def body(t: pa.Table) -> pa.Table:
+            m = t.column("doc_id").to_numpy() % 97 == 0
+            return t.filter(pa.array(m if keep_zero else ~m))
+
+        return body
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return T.ngram_contamination(corpus, bench, n=8)
+
+
+NGRAM_CONTAMINATION_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) != ''
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 8 + 2),
+                        i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM words WHERE len(w) >= 8
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS contaminated_frac
+FROM corpus LEFT JOIN bench b USING (g)
+GROUP BY doc_id
+"""

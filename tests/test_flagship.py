@@ -142,3 +142,36 @@ def test_dataset_plane_checkpoint_resume(tmp_path):
         connected_components_dataset, "cc_ds/cc-ds", "component", max_rounds=8
     )
     crash_resume(label_propagation_dataset, "lpa_ds/lpa-ds", "label", iterations=5)
+
+
+def test_host_graph_pagerank_vs_oracle():
+    """Host-level contraction + weighted PR vs a pure-python oracle built
+    from the generator's ground-truth out-links (200 pages = the sf0.001
+    page count, so this pins exactly what q_host_graph_pagerank serves)."""
+    import re
+    from collections import Counter
+
+    from lynxkite_ray.pipelines.flagship import host_graph_pagerank
+
+    n = 200
+    host_re = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)")
+    pairs = set()
+    for i in range(n):
+        src = normalize_url(f"http://site{i % 97}.example/p/{i}")
+        for t in page_out_links(i, n, 42):
+            pairs.add((src, normalize_url(t)))
+    w = Counter()
+    for s, d in pairs:
+        w[(host_re.match(s).group(1), host_re.match(d).group(1))] += 1
+    hosts = sorted({h for k in w for h in k})
+    oracle = pagerank_oracle(
+        [(s, d, float(c)) for (s, d), c in w.items()], hosts, 0.85, 10
+    )
+
+    got = {
+        r["host"]: r["host_rank"]
+        for r in host_graph_pagerank("/root/testdata/sf0.001").take_all()
+    }
+    assert set(got) == set(hosts)
+    for h in hosts:
+        assert abs(got[h] - oracle[h]) < 1e-5, (h, got[h], oracle[h])

@@ -510,3 +510,89 @@ def test_hypermap_and_hyperbolic_prediction():
     assert sorted(map(tuple, (sorted(r.items()) for r in pred))) == sorted(
         map(tuple, (sorted(r.items()) for r in again))
     )
+
+
+def _core_oracle(edges):
+    """Naive per-vertex peeling (dict/set) — independent of numpy paths."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    alive = set(deg)
+    k = 1
+    while alive:
+        changed = True
+        while changed:
+            changed = False
+            for v in list(alive):
+                if deg[v] < k:
+                    core[v] = k - 1
+                    alive.remove(v)
+                    for n in adj[v]:
+                        if n in alive:
+                            deg[n] -= 1
+                    changed = True
+        for v in alive:
+            core[v] = k
+        k += 1
+    return core
+
+
+def test_core_number_vs_oracle():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import core_number
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 120, 600).astype(np.int64)
+    dst = rng.integers(0, 120, 600).astype(np.int64)
+    # plant a clique (core 9) on vertices 200..209
+    cl = np.array([(a, b) for a in range(200, 210) for b in range(200, 210) if a < b])
+    s = np.concatenate([src, cl[:, 0]])
+    d = np.concatenate([dst, cl[:, 1]])
+    edges = rd.from_arrow(pa.table({"src": s, "dst": d}))
+    got = {r["id"]: r["core"] for r in core_number(edges).take_all()}
+    want = _core_oracle(zip(s.tolist(), d.tolist()))
+    assert got == want
+    assert all(got[v] == 9 for v in range(200, 210))
+
+
+def test_core_number_dataset_parity():
+    """The Dataset-plane decomposition must agree with the local peel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import core_number
+    from lynxkite_ray.functions.graph.kcore import _core_number_dataset
+    from lynxkite_ray.stages.edges import canonical_edges
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 80, 400).astype(np.int64)
+    dst = rng.integers(0, 80, 400).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    local = {r["id"]: r["core"] for r in core_number(edges).take_all()}
+    ds = {
+        r["id"]: r["core"]
+        for r in _core_number_dataset(canonical_edges(edges).materialize()).take_all()
+    }
+    assert ds == local
+
+
+def test_k_core_subgraph():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import k_core
+
+    # path a-b-c-d plus triangle x-y-z: 2-core = the triangle only
+    s = np.array([1, 2, 3, 10, 11, 12], dtype=np.int64)
+    d = np.array([2, 3, 4, 11, 12, 10], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": s, "dst": d}))
+    got = {(r["src"], r["dst"]) for r in k_core(edges, 2).take_all()}
+    assert got == {(10, 11), (11, 12), (10, 12)}

@@ -384,3 +384,52 @@ def test_winnowing_deterministic_and_dense():
     assert a == b and len(a) >= len(txt) // 10  # one pick per window survives
     # hashes are position/document independent
     assert _kgram_hashes("XXabcdeYY", 5)[2] == _kgram_hashes("abcde", 5)[0]
+
+
+def test_wordgram_prefix_hash_matches_direct():
+    """The inverse-rebased prefix-hash gram kernel must equal hashing each
+    gram string directly with the same polynomial."""
+    from lynxkite_ray.functions.text import _GRAM_BASE, _wordgram_hashes, tokenize
+
+    s = "the quick brown fox jumps over the lazy dog again and again"
+    n = 3
+    toks = tokenize(s)
+    want = []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        cp = np.frombuffer(g.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        h = np.uint64(0)
+        for j, c in enumerate(cp):
+            h = h + c * _GRAM_BASE ** np.uint64(j)
+        want.append(np.int64(h.astype(np.int64)))
+    got = _wordgram_hashes(s, n)
+    assert got.tolist() == [int(w) for w in want]
+
+
+def test_ngram_contamination_planted():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.text import ngram_contamination
+
+    bench = rd.from_arrow(
+        pa.table({"doc_id": [100], "text": ["a b c d e f g h i j"]})
+    )
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # contains the 8-gram "b c d e f g h i" (and "c d e f g h i j"? no)
+                    "x b c d e f g h i y z",
+                    "one two three four five six seven eight nine",
+                    "short doc",  # < 8 tokens → omitted
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in ngram_contamination(corpus, bench, n=8).take_all()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_grams"] == 4 and rows[1]["n_contaminated"] == 1
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_contaminated"] == 0
+    assert abs(rows[1]["contaminated_frac"] - 0.25) < 1e-9
