@@ -175,3 +175,52 @@ def read_sql(db_path: str, query: str, batch_rows: int = 1 << 18) -> Dataset:
     if not tables:
         return rd.from_arrow(pa.table({}))
     return rd.from_arrow(pa.concat_tables(tables))
+
+
+def write_parquet_partitioned(ds: Dataset, root: str, key: str) -> int:
+    """Key-partitioned resumable sink: Hive layout (<root>/<key>=<value>/),
+    each partition directory committed atomically with its own _SUCCESS
+    marker.  A rerun after a crash filters completed key values out of the
+    input BEFORE any work happens (partition pruning at the source of the
+    write), writes only the missing partitions, and never touches
+    committed ones — the failure-recovery contract a 100-TB job needs
+    (re-running a finished run is a no-op).
+
+    Returns rows written THIS run (0 on a fully-resumed rerun)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    os.makedirs(root, exist_ok=True)
+    done_vals = {
+        name.split("=", 1)[1]
+        for name in os.listdir(root)
+        if "=" in name and is_complete(os.path.join(root, name))
+    }
+    if done_vals:
+        vals = pa.array(sorted(done_vals))
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            keep = pc.invert(
+                pc.is_in(pc.cast(t[key], pa.string()), value_set=vals)
+            )
+            return t.filter(keep)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    tmp = os.path.join(root, "_tmp_inflight")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp, partition_cols=[key])
+    written = 0
+    if os.path.isdir(tmp):
+        for name in sorted(os.listdir(tmp)):
+            src = os.path.join(tmp, name)
+            if "=" not in name or not os.path.isdir(src):
+                continue
+            written += pads.dataset(src, format="parquet").count_rows()
+            dst = os.path.join(root, name)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+            with open(os.path.join(dst, "_SUCCESS"), "w") as f:
+                f.write("")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return written

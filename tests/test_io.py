@@ -172,3 +172,47 @@ def test_sql_roundtrip(tmp_path):
     rows = back.take_all()
     assert [r["k"] for r in rows] == [1, 2, 3, 9]
     assert rows[0]["s"] == "a" and rows[3]["v"] == 9.0
+
+
+def test_write_parquet_partitioned_resume(tmp_path):
+    """Crash-resume contract: completed partitions are skipped (and not
+    rewritten), missing ones are filled in; total content is exact."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from lynxkite_ray.sources.io import write_parquet_partitioned
+
+    t = pa.table(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "lang": np.array(["en", "de", "fr", "hu"])[np.arange(100) % 4],
+            "val": np.arange(100, dtype=np.float64),
+        }
+    )
+    root = str(tmp_path / "out")
+    n = write_parquet_partitioned(rd.from_arrow(t), root, "lang")
+    assert n == 100
+    parts = sorted(p for p in os.listdir(root) if "=" in p)
+    assert parts == ["lang=de", "lang=en", "lang=fr", "lang=hu"]
+    assert all(os.path.exists(os.path.join(root, p, "_SUCCESS")) for p in parts)
+
+    # simulate a crash that lost one partition
+    shutil.rmtree(os.path.join(root, "lang=fr"))
+    marker = os.path.join(root, "lang=en", "_SUCCESS")
+    mtime_before = os.path.getmtime(os.path.join(root, "lang=en"))
+    n2 = write_parquet_partitioned(rd.from_arrow(t), root, "lang")
+    assert n2 == 25  # only the lost partition was rewritten
+    assert os.path.exists(marker)
+    assert os.path.getmtime(os.path.join(root, "lang=en")) == mtime_before
+
+    back = pads.dataset(
+        root, format="parquet", partitioning="hive",
+        ignore_prefixes=["_", "."],
+    ).to_table()
+    assert back.num_rows == 100
+    assert sorted(back.column("doc_id").to_pylist()) == list(range(100))
+
+    # fully-resumed rerun is a no-op
+    assert write_parquet_partitioned(rd.from_arrow(t), root, "lang") == 0
