@@ -682,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantile": R.grouped_quantile,
         "stratified_sample": R.stratified_sample_customers,
         "ngram_contamination": TX.q_ngram_contamination,
+        "tfidf_top_terms": TX.q_tfidf_top_terms,
+        "events_top3_per_user": R.events_top3_per_user,
+        "activity_vs_orders": R.activity_vs_orders,
         # --- never driver-checked through round 2 (union-coverage gap) ---
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -836,6 +839,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantile": R.GROUPED_QUANTILE_SQL,
         "stratified_sample": R.STRATIFIED_SAMPLE_SQL,
         "ngram_contamination": TX.NGRAM_CONTAMINATION_SQL,
+        "tfidf_top_terms": TX.TFIDF_SQL,
+        "events_top3_per_user": R.TOP3_PER_USER_SQL,
+        "activity_vs_orders": R.ACTIVITY_VS_ORDERS_SQL,
         "elementwise_mean": ELEMENTWISE_SQL,
         "elementwise_max": ELEMENTWISE_MAX_SQL,
         "linear_regression": LINREG_SQL,

@@ -474,3 +474,121 @@ def ngram_contamination(
         )
 
     return corpus.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    k: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(id, token, tfidf): each document's k highest-tf·idf whitespace
+    tokens, score = tf · ln(N / df) with N = number of non-empty documents
+    and df = documents containing the token.  Ranking and the returned
+    score both use the 6-decimal half-away rounding so the SQL oracle's
+    ROW_NUMBER sees the exact same ordering; rounded-score ties are pinned
+    by token ascending.
+
+    Scale shape: per-batch (doc, token, tf) partials from one Counter pass
+    per doc (the inverted-index build); df is ONE token-key aggregate over
+    those rows (already distinct per doc, so Count == distinct-doc count);
+    the df table joins back on the token key; the final per-doc top-k is a
+    key shuffle by doc + vectorized within-group ranking.  No corpus-wide
+    state beyond the scalar N."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import hash_partition
+
+    def doc_tf(t: pa.Table) -> pa.Table:
+        ids_out, toks_out, tf_out = [], [], []
+        ids = t.column(id_col).to_numpy()
+        for i, s in enumerate(t.column(col).to_pylist()):
+            c = Counter(tokenize(s))
+            if not c:
+                continue
+            ids_out.extend([ids[i]] * len(c))
+            toks_out.extend(c.keys())
+            tf_out.extend(c.values())
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(ids_out, dtype=np.int64)),
+                "token": pa.array(toks_out, type=pa.string()),
+                "tf": pa.array(np.asarray(tf_out, dtype=np.int64)),
+            }
+        )
+
+    tf = ds.map_batches(doc_tf, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # N = distinct non-empty docs; tf rows are per (doc, token), so count
+    # distinct ids via a tiny per-block-unique pass (ids, not rows).
+    def block_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"id": np.unique(t.column(id_col).to_numpy())})
+
+    parts = ray.get(
+        tf.map_batches(block_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .to_arrow_refs()
+    )
+    arrs = [p.column("id").to_numpy() for p in parts if p.num_rows]
+    n_docs = len(np.unique(np.concatenate(arrs))) if arrs else 0
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(tf, df, on="token")
+
+    scored = joined.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "token": t["token"],
+                "tfidf": round_away(
+                    t.column("tf").to_numpy().astype(np.float64)
+                    * np.log(
+                        float(n_docs)
+                        / t.column("df").to_numpy().astype(np.float64)
+                    ),
+                    6,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = hash_partition(scored, [id_col])
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        ids = t.column(id_col).to_numpy()
+        toks = t.column("token").to_numpy(zero_copy_only=False)
+        sc = t.column("tfidf").to_numpy()
+        order = np.lexsort((toks, -sc, ids))
+        ids, toks, sc = ids[order], toks[order], sc[order]
+        brk = np.empty(len(ids), dtype=bool)
+        brk[0] = True
+        brk[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(ids)))
+        rank = np.arange(len(ids)) - np.repeat(starts, counts)
+        keep = rank < k
+        return pa.table({id_col: ids[keep], "token": toks[keep], "tfidf": sc[keep]})
+
+    return part.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)

@@ -1199,3 +1199,96 @@ WHERE (c_custkey * 2654435761) % 4294967296 <
                         WHEN 'BUILDING'   THEN 429496729
                         ELSE 214748364 END
 """
+
+
+def events_top3_per_user(sf_dir: str):
+    """Grouped top-k: each user's 3 highest-value events (ties pinned by
+    event_id).  ONE key shuffle by user, then a per-block lexsort +
+    vectorized within-group ranking — the per-group ComputeTopValues
+    (global top-k is `top_values`; this is its PARTITION BY cousin)."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    part = hash_partition(ev, ["user_id"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        v = t.column("value").to_numpy()
+        ids = t.column("event_id").to_numpy()
+        order = np.lexsort((ids, -v, u))
+        u, v, ids = u[order], v[order], ids[order]
+        brk = np.empty(len(u), dtype=bool)
+        brk[0] = True
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(u)))
+        rank = np.arange(len(u)) - np.repeat(starts, counts)
+        keep = rank < 3
+        return pa.table({"user_id": u[keep], "event_id": ids[keep], "value": v[keep]})
+
+    return part.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOP3_PER_USER_SQL = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
+def activity_vs_orders(sf_dir: str):
+    """FULL OUTER join of two aggregates over DIFFERENT tables on a shared
+    key domain (event user ids vs order customer keys): per key, event
+    count and order count, zero-filled on the unmatched sides — the
+    outer-join surface (hash_join how='outer') exercised end-to-end."""
+    from ..stages.join import hash_join
+
+    ev = (
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .map_batches(
+            lambda t: t.rename_columns(["k", "n_events"]), batch_format="pyarrow"
+        )
+    )
+    orders = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(
+            lambda t: t.rename_columns(["k", "n_orders"]), batch_format="pyarrow"
+        )
+    )
+    j = hash_join(ev, orders, on="k", how="outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["k"],
+                "n_events": pc.fill_null(t["n_events"], 0),
+                "n_orders": pc.fill_null(t["n_orders"], 0),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+ACTIVITY_VS_ORDERS_SQL = """
+WITH e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+SELECT k, COALESCE(n_events, 0) AS n_events, COALESCE(n_orders, 0) AS n_orders
+FROM e FULL OUTER JOIN o USING (k)
+"""

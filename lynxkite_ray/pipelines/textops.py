@@ -371,3 +371,31 @@ SELECT doc_id,
 FROM corpus LEFT JOIN bench b USING (g)
 GROUP BY doc_id
 """
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    return T.tfidf_top_terms(_docs(sf_dir), k=3)
+
+
+TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) != ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf FROM ranked WHERE rk <= 3
+"""
