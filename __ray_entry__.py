@@ -685,6 +685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": TX.q_tfidf_top_terms,
         "events_top3_per_user": R.events_top3_per_user,
         "activity_vs_orders": R.activity_vs_orders,
+        "reciprocity": ST.q_reciprocity,
+        "assortativity": ST.q_assortativity,
+        "adamic_adar": ST.q_adamic_adar,
         # --- never driver-checked through round 2 (union-coverage gap) ---
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -842,6 +845,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TX.TFIDF_SQL,
         "events_top3_per_user": R.TOP3_PER_USER_SQL,
         "activity_vs_orders": R.ACTIVITY_VS_ORDERS_SQL,
+        "reciprocity": ST.RECIPROCITY_SQL,
+        "assortativity": ST.ASSORTATIVITY_SQL,
+        "adamic_adar": ST.ADAMIC_ADAR_SQL,
         "elementwise_mean": ELEMENTWISE_SQL,
         "elementwise_max": ELEMENTWISE_MAX_SQL,
         "linear_regression": LINREG_SQL,

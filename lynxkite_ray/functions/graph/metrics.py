@@ -127,3 +127,291 @@ def shortest_paths(graph, sources: np.ndarray, max_iterations: int = 30) -> np.n
             break
         dist = nxt
     return dist
+
+
+def reciprocity(edges: Dataset) -> Dataset:
+    """One-row (n_edges, n_reciprocal, reciprocity) over the distinct
+    directed edge set (loops dropped): the fraction of edges whose reverse
+    also exists.  Dataset-plane: distinct → self-join on the swapped key —
+    no driver-side edge state (reciprocity is the standard directed-graph
+    symmetry scalar; complements RemoveNonSymmetricEdges which RETURNS the
+    symmetric subset, stages/edges.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ...stages.edges import remove_non_symmetric
+    from ...stages.shuffle import distinct
+
+    dedup = distinct(
+        edges.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"],
+    ).materialize()
+    n = dedup.count()
+    n_rec = remove_non_symmetric(dedup).count()
+    frac = float(round_away(np.array([n_rec / n]), 6)[0]) if n else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": np.array([n], np.int64),
+                "n_reciprocal": np.array([n_rec], np.int64),
+                "reciprocity": np.array([frac], np.float64),
+            }
+        )
+    )
+
+
+def degree_assortativity(edges: Dataset) -> Dataset:
+    """One-row Pearson degree-assortativity coefficient of the simple
+    undirected graph: corr(deg(u), deg(v)) over both orientations of every
+    edge (Newman 2002, public formula).  Dataset-plane shape: degree
+    aggregate → two hash joins to attach endpoint degrees → five-moment
+    partials combined map-side (same kernel as the Corr aggregate family,
+    pipelines/relational.corr_qty_price)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ...context import default_partitions
+    from ...stages.edges import add_reversed_edges, canonical_edges
+
+    from ...stages.shuffle import COALESCE_BATCH
+
+    canon = canonical_edges(edges).materialize()
+    both = add_reversed_edges(canon).materialize()
+    deg = (
+        both.groupby("src")
+        .aggregate(Count(alias_name="d"))
+        .map_batches(
+            lambda t: t.rename_columns(["v", "d"]),
+            batch_format="pyarrow",
+            batch_size=COALESCE_BATCH,
+        )
+    )
+    np_parts = default_partitions()
+    j = both.join(
+        deg, join_type="inner", num_partitions=np_parts, on=("src",), right_on=("v",)
+    ).map_batches(
+        lambda t: pa.table({"dst": t["dst"], "dx": t["d"]}),
+        batch_format="pyarrow",
+        batch_size=COALESCE_BATCH,
+    )
+    j2 = j.join(
+        deg, join_type="inner", num_partitions=np_parts, on=("dst",), right_on=("v",)
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("dx").to_numpy().astype(np.float64)
+        y = t.column("d").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "n": np.array([len(x)], np.int64),
+                "sx": np.array([x.sum()], np.float64),
+                "sy": np.array([y.sum()], np.float64),
+                "sxy": np.array([(x * y).sum()], np.float64),
+                "sxx": np.array([(x * x).sum()], np.float64),
+                "syy": np.array([(y * y).sum()], np.float64),
+            }
+        )
+
+    parts = j2.map_batches(moments, batch_format="pyarrow").materialize()
+    import ray
+
+    tables = ray.get(parts.to_arrow_refs())
+    tot = {k: 0.0 for k in ["n", "sx", "sy", "sxy", "sxx", "syy"]}
+    for t in tables:
+        for k in tot:
+            if t.num_rows:
+                tot[k] += float(np.sum(t.column(k).to_numpy()))
+    n, sx, sy, sxy, sxx, syy = (
+        tot["n"], tot["sx"], tot["sy"], tot["sxy"], tot["sxx"], tot["syy"]
+    )
+    denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+    from ...util import round_away
+
+    return rd.from_arrow(
+        pa.table({"assortativity": round_away(np.array([r]), 6)})
+    )
+
+
+def _aa_local(si: np.ndarray, di: np.ndarray, deg: np.ndarray, V: int):
+    """Vectorized single-pass AA over the dense-index simple graph: full
+    undirected CSR → all neighbor pairs per middle via the repeat/arange
+    wedge trick (triangles._wedge_chunk pattern) → existing edges dropped
+    by sorted-key probe → per-pair sums via np.unique inverse.  Returns
+    (a_idx, c_idx, aa) for every non-adjacent distance-2 pair."""
+    # full CSR over both directions, neighbors sorted per vertex
+    mids = np.concatenate([si, di])
+    nbrs = np.concatenate([di, si])
+    order = np.lexsort((nbrs, mids))
+    mids, nbrs = mids[order], nbrs[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(np.bincount(mids, minlength=V), out=indptr[1:])
+    w = np.zeros(V, dtype=np.float64)
+    multi = deg >= 2
+    w[multi] = 1.0 / np.log(deg[multi])
+    # for every position p (a neighbor x of mid), partners = the later,
+    # larger neighbors of the same mid — each unordered pair once
+    pos = np.arange(len(nbrs), dtype=np.int64)
+    end = indptr[mids + 1]
+    cnt = end - pos - 1
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    starts = np.repeat(pos + 1, cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+    )
+    c = nbrs[starts + within]
+    a = np.repeat(nbrs, cnt)
+    wm = np.repeat(w[mids], cnt)
+    keep = a != c  # parallel neighbors can't occur (simple graph), loops can't either
+    a, c, wm = a[keep], c[keep], wm[keep]
+    lo = np.minimum(a, c)
+    hi = np.maximum(a, c)
+    key = lo * V + hi
+    # drop existing edges (canonical si<di keys, sorted probe)
+    ek = np.sort(
+        np.minimum(si, di).astype(np.int64) * V + np.maximum(si, di).astype(np.int64)
+    )
+    p = np.searchsorted(ek, key)
+    p[p >= len(ek)] = len(ek) - 1 if len(ek) else 0
+    is_edge = ek[p] == key if len(ek) else np.zeros(len(key), bool)
+    key, wm, lo, hi = key[~is_edge], wm[~is_edge], lo[~is_edge], hi[~is_edge]
+    if len(key) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    uk, inv = np.unique(key, return_inverse=True)
+    aa = np.zeros(len(uk), dtype=np.float64)
+    np.add.at(aa, inv, wm)
+    return (uk // V).astype(np.int64), (uk % V).astype(np.int64), aa
+
+
+def adamic_adar(edges: Dataset, k: int = 100) -> Dataset:
+    """Top-k Adamic-Adar link-prediction candidates over the simple
+    undirected graph: for every non-adjacent pair (a, c) at distance 2,
+    AA = Σ_{w ∈ N(a)∩N(c)} 1/ln(deg(w)) (Adamic & Adar 2003, public
+    formula; middle vertices always have deg ≥ 2, so the log never
+    vanishes).  Ranked by the 6-decimal-rounded score (desc, then src,
+    dst asc) so the SQL oracle's ROW_NUMBER sees the identical order.
+
+    Dataset shape: wedge enumeration is ONE self-join of the reversed edge
+    table on the middle vertex with the middle's 1/ln(deg) attached
+    map-side before the join; existing edges drop out via a composite-key
+    anti join; one grouped sum then a tiny sort+limit.  Hub middles fan
+    out deg² wedges — the same skew surface as triangle counting, handled
+    by the hash exchange (a df-cap like JACCARD_MAX_DF is the knob to add
+    if a real corpus has 10⁶-degree hubs)."""
+    import ray.data as rd
+
+    from ...stages.edges import canonical_edges
+    from ...util import round_away
+
+    canon = canonical_edges(edges).materialize()
+    # Local vectorized path (one CSR pass, no joins) while the edge list —
+    # and the Σdeg² wedge fan-out — fit one worker; the Dataset-join path
+    # is the same algebra for the beyond-threshold regime.
+    if canon.count() <= LOCAL_EDGE_THRESHOLD:
+        s, d = _gather_canonical(canon)
+        if len(s):
+            vids = np.unique(np.concatenate([s, d]))
+            si = np.searchsorted(vids, s)
+            di = np.searchsorted(vids, d)
+            V = len(vids)
+            deg = np.bincount(si, minlength=V) + np.bincount(di, minlength=V)
+            # Σdeg² bounds the wedge fan-out; past ~2·10⁸ pairs the local
+            # arrays stop being cheap and the join path takes over
+            if float(np.square(deg.astype(np.float64)).sum()) <= 2e8:
+                a_out, c_out, aa = _aa_local(si, di, deg, V)
+                score = round_away(aa, 6)
+                order = np.lexsort((vids[c_out], vids[a_out], -score))[:k]
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "src": vids[a_out][order],
+                            "dst": vids[c_out][order],
+                            "aa": score[order],
+                        }
+                    )
+                )
+    return _aa_dataset(canon, k)
+
+
+def _aa_dataset(canon: Dataset, k: int) -> Dataset:
+    """Dataset-join AA over a canonical simple edge Dataset (the
+    beyond-one-worker path of adamic_adar; identical algebra and ranking)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ...context import default_partitions
+    from ...stages.edges import add_reversed_edges
+    from ...stages.join import anti_join
+    from ...stages.shuffle import COALESCE_BATCH
+    from ...util import round_away
+
+    both = add_reversed_edges(canon).materialize()
+    npart = default_partitions()
+    deg = (
+        both.groupby("src")
+        .aggregate(Count(alias_name="d"))
+        .map_batches(
+            lambda t: t.rename_columns(["v", "d"]),
+            batch_format="pyarrow",
+            batch_size=COALESCE_BATCH,
+        )
+    )
+    right = both.join(
+        deg, join_type="inner", num_partitions=npart, on=("src",), right_on=("v",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "mid": t["src"],
+                "c": t["dst"],
+                "w": pc.divide(
+                    1.0, pc.ln(pc.cast(t["d"], pa.float64()))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=COALESCE_BATCH,
+    )
+    left = both.map_batches(
+        lambda t: pa.table({"a": t["src"], "mid": t["dst"]}),
+        batch_format="pyarrow",
+        batch_size=COALESCE_BATCH,
+    )
+    wedges = left.join(right, join_type="inner", num_partitions=npart, on=("mid",))
+    wedges = wedges.map_batches(
+        lambda t: pa.table(
+            {"src": t["a"], "dst": t["c"], "w": t["w"]}
+        ).filter(pc.less(t["a"], t["c"])),
+        batch_format="pyarrow",
+    )
+
+    # composite key drops pairs that are already edges (ids must fit 31
+    # bits each for the fold — true for every driver table; assert cheap)
+    def fold(t: pa.Table, s: str, d: str) -> pa.Table:
+        a = t.column(s).to_numpy()
+        b = t.column(d).to_numpy()
+        if len(a) and (a.max() >= (1 << 31) or b.max() >= (1 << 31)):
+            raise ValueError("adamic_adar composite key needs ids < 2^31")
+        return t.append_column("k", pa.array((a << np.int64(31)) | b))
+
+    wk = wedges.map_batches(lambda t: fold(t, "src", "dst"), batch_format="pyarrow")
+    ek = canon.map_batches(
+        lambda t: fold(t, "src", "dst").select(["k"]), batch_format="pyarrow"
+    )
+    cand = anti_join(wk, ek, "k").drop_columns(["k"])
+    agg = cand.groupby(["src", "dst"]).aggregate(Sum("w", alias_name="aa"))
+    scored = agg.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "aa": round_away(t.column("aa").to_numpy(), 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return scored.sort(["aa", "src", "dst"], descending=[True, False, False]).limit(k)

@@ -1002,3 +1002,81 @@ def q_core_numbers(sf_dir: str):
     from .copurchase import copurchase_edges
 
     return core_number(copurchase_edges(sf_dir))
+
+
+def q_reciprocity(sf_dir: str):
+    from ..functions.graph.metrics import reciprocity
+
+    return reciprocity(precedence_pairs(sf_dir))
+
+
+RECIPROCITY_SQL = (
+    "WITH "
+    + PREC_CTE.strip()
+    + """,
+rec AS (SELECT e.src FROM prec e JOIN prec r ON r.src = e.dst AND r.dst = e.src)
+SELECT CAST((SELECT COUNT(*) FROM prec) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM rec) AS BIGINT) AS n_reciprocal,
+       ROUND(CAST((SELECT COUNT(*) FROM rec) AS DOUBLE)
+             / (SELECT COUNT(*) FROM prec), 6) AS reciprocity
+"""
+)
+
+
+def q_assortativity(sf_dir: str):
+    from ..functions.graph.metrics import degree_assortativity
+
+    from .copurchase import copurchase_edges
+
+    return degree_assortativity(copurchase_edges(sf_dir))
+
+
+ASSORTATIVITY_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pairs AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM pairs GROUP BY 1)
+SELECT ROUND(corr(dx.d, dy.d), 6) AS assortativity
+FROM pairs JOIN deg dx ON dx.v = pairs.src JOIN deg dy ON dy.v = pairs.dst
+"""
+
+
+def q_adamic_adar(sf_dir: str):
+    """Top-100 AA link-prediction candidates over the undirected
+    precedence graph (sparser than co-purchase, so the wedge fan-out stays
+    SQL-checkable at every sf)."""
+    from ..functions.graph.metrics import adamic_adar
+
+    return adamic_adar(precedence_edges(sf_dir), k=100)
+
+
+ADAMIC_ADAR_SQL = (
+    "WITH "
+    + PREC_CTE.strip()
+    + """,
+edges AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+          FROM prec),
+pairs AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM pairs GROUP BY 1),
+wedge AS (
+  SELECT b1.src AS a, b2.dst AS c, b1.dst AS mid
+  FROM pairs b1 JOIN pairs b2 ON b1.dst = b2.src AND b1.src < b2.dst
+),
+cand AS (
+  SELECT w.a AS src, w.c AS dst, SUM(1.0 / ln(deg.d)) AS aa
+  FROM wedge w
+  JOIN deg ON deg.v = w.mid
+  LEFT JOIN edges e ON e.src = w.a AND e.dst = w.c
+  WHERE e.src IS NULL
+  GROUP BY 1, 2
+)
+SELECT src, dst, aa FROM (
+  SELECT src, dst, ROUND(aa, 6) AS aa,
+         ROW_NUMBER() OVER (ORDER BY ROUND(aa, 6) DESC, src ASC, dst ASC) AS rk
+  FROM cand
+) WHERE rk <= 100
+"""
+)

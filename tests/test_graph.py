@@ -596,3 +596,26 @@ def test_k_core_subgraph():
     edges = rd.from_arrow(pa.table({"src": s, "dst": d}))
     got = {(r["src"], r["dst"]) for r in k_core(edges, 2).take_all()}
     assert got == {(10, 11), (11, 12), (10, 12)}
+
+
+def test_adamic_adar_paths_agree():
+    """The local CSR path and the Dataset-join path must produce the same
+    top-k table (same algebra, same pinned ranking)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.metrics import _aa_dataset, adamic_adar
+    from lynxkite_ray.stages.edges import canonical_edges
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 60, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    local = adamic_adar(edges, k=40).take_all()
+    ds = _aa_dataset(canonical_edges(edges).materialize(), k=40).take_all()
+    key = lambda r: (r["src"], r["dst"])
+    assert sorted(map(key, local)) == sorted(map(key, ds))
+    got_l = {key(r): r["aa"] for r in local}
+    got_d = {key(r): r["aa"] for r in ds}
+    for p in got_l:
+        assert abs(got_l[p] - got_d[p]) < 1e-9
