@@ -755,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fingerprints": TX.q_winnowing_fingerprints,
         "host_graph_pagerank": FS.q_host_graph_pagerank,
         "core_numbers": ST.q_core_numbers,
+        "strongly_connected_components": ST.q_scc,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,

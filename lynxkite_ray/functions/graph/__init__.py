@@ -4,3 +4,5 @@ from .components import connected_components, connected_components_dataset  # no
 from .labelprop import label_propagation, label_propagation_dataset  # noqa: F401
 from .triangles import embeddedness, triangle_count, triangles_per_vertex  # noqa: F401
 from .kcore import core_number, k_core  # noqa: F401
+from .scc import strongly_connected_components  # noqa: F401
+from .metrics import adamic_adar, degree_assortativity, reciprocity  # noqa: F401

@@ -1080,3 +1080,11 @@ SELECT src, dst, aa FROM (
 ) WHERE rk <= 100
 """
 )
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components of the directed precedence graph —
+    rows-only (iterative; pytest pins against a Kosaraju oracle)."""
+    from ..functions.graph import strongly_connected_components
+
+    return strongly_connected_components(precedence_edges(sf_dir))

@@ -92,3 +92,50 @@ def triangles_oracle(edges):
     for a, b in und:
         count += len(adj[a] & adj[b])
     return count // 3  # each triangle counted once per edge
+
+
+def scc_oracle(edges, vertices):
+    """Kosaraju two-pass DFS (dict/set, iterative); label = min id."""
+    fwd = defaultdict(list)
+    rev = defaultdict(list)
+    for s, d, *_ in edges:
+        if s != d:
+            fwd[s].append(d)
+            rev[d].append(s)
+    seen = set()
+    order = []
+    for v in vertices:
+        if v in seen:
+            continue
+        stack = [(v, iter(fwd[v]))]
+        seen.add(v)
+        while stack:
+            u, it = stack[-1]
+            pushed = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(fwd[w])))
+                    pushed = True
+                    break
+            if not pushed:
+                order.append(u)
+                stack.pop()
+    label = {}
+    for v in reversed(order):
+        if v in label:
+            continue
+        comp = [v]
+        label[v] = v
+        stack = [v]
+        while stack:
+            u = stack.pop()
+            for w in rev[u]:
+                if w not in label:
+                    label[w] = v
+                    comp.append(w)
+                    stack.append(w)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    return label

@@ -619,3 +619,51 @@ def test_adamic_adar_paths_agree():
     got_d = {key(r): r["aa"] for r in ds}
     for p in got_l:
         assert abs(got_l[p] - got_d[p]) < 1e-9
+
+
+def test_scc_vs_kosaraju_oracle():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import strongly_connected_components
+
+    from .oracles import scc_oracle
+
+    rng = np.random.default_rng(13)
+    # sparse random directed graph + a planted 6-cycle and a planted
+    # 2-cycle so nontrivial SCCs certainly exist
+    src = rng.integers(0, 150, 500).astype(np.int64)
+    dst = rng.integers(0, 150, 500).astype(np.int64)
+    cyc = np.array([300, 301, 302, 303, 304, 305, 300, 400, 401, 400])
+    s = np.concatenate([src, cyc[:-1]])
+    d = np.concatenate([dst, cyc[1:]])
+    edges = rd.from_arrow(pa.table({"src": s, "dst": d}))
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(edges).take_all()}
+    verts = sorted(set(s.tolist()) | set(d.tolist()))
+    want = scc_oracle(list(zip(s.tolist(), d.tolist())), verts)
+    # vertices with only self-loops are dropped by both? oracle keeps them
+    want = {v: m for v, m in want.items() if v in got}
+    assert got == want
+    assert all(got[v] == 300 for v in range(300, 306))
+    assert got[400] == 400 and got[401] == 400
+
+
+def test_scc_dataset_path_parity():
+    """The Orzan-style Dataset phases must agree with local Tarjan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.scc import _scc_dataset, _scc_local
+    from lynxkite_ray.stages.shuffle import distinct
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 70, 260).astype(np.int64)
+    dst = rng.integers(0, 70, 260).astype(np.int64)
+    keep = src != dst
+    edges = distinct(
+        rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]})),
+        ["src", "dst"],
+    ).materialize()
+    local = {r["id"]: r["scc"] for r in _scc_local(edges).take_all()}
+    ds = {r["id"]: r["scc"] for r in _scc_dataset(edges, 50).take_all()}
+    assert ds == local
