@@ -756,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph_pagerank": FS.q_host_graph_pagerank,
         "core_numbers": ST.q_core_numbers,
         "strongly_connected_components": ST.q_scc,
+        "bowtie": ST.q_bowtie,
+        "personalized_pagerank": ST.q_personalized_pagerank,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,

@@ -6,3 +6,5 @@ from .triangles import embeddedness, triangle_count, triangles_per_vertex  # noq
 from .kcore import core_number, k_core  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
 from .metrics import adamic_adar, degree_assortativity, reciprocity  # noqa: F401
+from .bowtie import bowtie  # noqa: F401
+from .pagerank import personalized_pagerank  # noqa: F401

@@ -305,3 +305,54 @@ def pagerank_dataset(
                 it, ranks, {"total_incoming": total_incoming, "uniform": uniform}
             )
     return ranks
+
+
+def personalized_pagerank(
+    graph,
+    sources: np.ndarray,
+    damping: float = 0.85,
+    iterations: int = 20,
+):
+    """Personalized PageRank: the teleport distribution is uniform over
+    ``sources`` instead of uniform over V (seed-set expansion / topic-
+    sensitive PR, Haveliwala 2002 — the standard crawl-corpus relevance
+    propagation).  Mass accounting mirrors pagerank(): whatever damped
+    mass is lost to dangling vertices re-enters at the seeds, so Σrank = 1
+    every iteration.  Dense-path only: the rank vector is driver-resident
+    like pagerank()'s; the DatasetGraph regime would need the teleport
+    column threaded through pagerank_dataset (NotImplementedError names
+    the mapping)."""
+    if not graph.is_dense:
+        raise NotImplementedError(
+            "personalized_pagerank: DatasetGraph regime — thread a teleport "
+            "column through pagerank_dataset (same per-round algebra)"
+        )
+    V = graph.num_vertices
+    src_idx = np.searchsorted(graph.vids, np.asarray(sources, dtype=np.int64))
+    ok = (src_idx < V) & (graph.vids[np.clip(src_idx, 0, V - 1)] == sources)
+    src_idx = src_idx[ok]
+    if len(src_idx) == 0:
+        raise ValueError("personalized_pagerank: no source id found in graph")
+    teleport = np.zeros(V, dtype=np.float64)
+    teleport[src_idx] = 1.0 / len(src_idx)
+
+    wdeg = ray.get(graph.wdeg_ref)
+    inv_wdeg = np.zeros(V, dtype=np.float64)
+    nz = wdeg > 0
+    inv_wdeg[nz] = 1.0 / wdeg[nz]
+    inv_ref = ray.put(inv_wdeg)
+
+    rank = teleport.copy()
+    with paused_gc():
+        for _ in range(iterations):
+            rank_ref = ray.put(rank)
+            futures = [
+                _pr_contrib.remote(s, rank_ref, inv_ref, damping, V)
+                for s in graph.shard_refs
+            ]
+            incoming = np.zeros(V, dtype=np.float64)
+            for lo, vec in ray.get(futures):
+                incoming[lo : lo + len(vec)] += vec
+            lost = 1.0 - float(incoming.sum())
+            rank = lost * teleport + incoming
+    return rank

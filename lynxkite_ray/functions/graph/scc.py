@@ -91,16 +91,19 @@ def _directed_min_fixpoint(
     edges: Dataset, vertices: Dataset, reverse: bool, num_partitions: int,
     max_inner: int,
 ):
-    """f(v) = min vertex id reachable from v along edge direction
-    (reverse=False) or against it (reverse=True).  Dataset-plane rounds of
-    join + grouped min until unchanged."""
+    """f(v) = min over {initial label of u : u reachable from v} along edge
+    direction (reverse=False) or against it (reverse=True).  The initial
+    label is v's own id unless ``vertices`` already carries an ``f`` column
+    (seeded reachability — e.g. 0 on a seed set, so f(v)=0 iff v reaches a
+    seed).  Dataset-plane rounds of join + grouped min until unchanged."""
     import pyarrow.compute as pc
 
     from ...stages.shuffle import COALESCE_BATCH, grouped_aggregate
 
     recv, send = ("src", "dst") if not reverse else ("dst", "src")
+    seeded = "f" in vertices.schema().names
     f = vertices.map_batches(
-        lambda t: pa.table({"id": t["id"], "f": t["id"]}),
+        lambda t: pa.table({"id": t["id"], "f": t["f" if seeded else "id"]}),
         batch_format="pyarrow",
         batch_size=COALESCE_BATCH,
     ).materialize()

@@ -1088,3 +1088,28 @@ def q_scc(sf_dir: str):
     from ..functions.graph import strongly_connected_components
 
     return strongly_connected_components(precedence_edges(sf_dir))
+
+
+def q_bowtie(sf_dir: str):
+    """Broder bowtie decomposition of the directed precedence graph —
+    rows-only (pytest pins against BFS oracles on planted structure)."""
+    from ..functions.graph import bowtie
+
+    return bowtie(precedence_edges(sf_dir))
+
+
+def q_personalized_pagerank(sf_dir: str):
+    """PPR from the 10 smallest part ids over the co-purchase graph —
+    rows-only (pytest vs a dict-loop oracle)."""
+    import ray.data as rd
+
+    from ..functions.graph import personalized_pagerank
+
+    from .copurchase import copurchase_graph
+
+    g = copurchase_graph(sf_dir, symmetric=True)
+    sources = g.vids[:10]
+    ranks = personalized_pagerank(g, sources, damping=0.85, iterations=10)
+    return rd.from_arrow(
+        pa.table({"id": g.vids, "pprank": round_away(ranks, 9)})
+    )

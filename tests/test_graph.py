@@ -667,3 +667,88 @@ def test_scc_dataset_path_parity():
     local = {r["id"]: r["scc"] for r in _scc_local(edges).take_all()}
     ds = {r["id"]: r["scc"] for r in _scc_dataset(edges, 50).take_all()}
     assert ds == local
+
+
+def test_personalized_pagerank_vs_oracle():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import Graph, personalized_pagerank
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 40, 160).astype(np.int64)
+    dst = rng.integers(0, 40, 160).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())))
+    g = Graph.from_edges(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": np.array([p[0] for p in pairs], np.int64),
+                    "dst": np.array([p[1] for p in pairs], np.int64),
+                }
+            )
+        )
+    )
+    sources = g.vids[:4]
+    got = personalized_pagerank(g, sources, damping=0.85, iterations=8)
+
+    # dict-loop oracle with the same mass accounting (lost mass -> seeds)
+    vids = g.vids.tolist()
+    out = {}
+    for s, d in pairs:
+        out.setdefault(s, []).append(d)
+    t = {v: 0.0 for v in vids}
+    for s in sources.tolist():
+        t[s] = 1.0 / len(sources)
+    pr = dict(t)
+    for _ in range(8):
+        inc = {v: 0.0 for v in vids}
+        for s, ds_ in out.items():
+            for d in ds_:
+                inc[d] += 0.85 * pr[s] / len(ds_)
+        lost = 1.0 - sum(inc.values())
+        pr = {v: lost * t[v] + inc[v] for v in vids}
+    np.testing.assert_allclose(got, [pr[v] for v in vids], atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_bowtie_planted():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import bowtie
+
+    # core: 4-cycle 10-11-12-13; IN chain 1->2->10; OUT chain 13->20->21;
+    # tendril 30->2 (reaches core => in); disconnected pair 40->41 (other)
+    s = np.array([10, 11, 12, 13, 1, 2, 13, 20, 30, 40], dtype=np.int64)
+    d = np.array([11, 12, 13, 10, 2, 10, 20, 21, 2, 41], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": s, "dst": d}))
+    got = {r["id"]: r["region"] for r in bowtie(edges).take_all()}
+    assert {v: got[v] for v in (10, 11, 12, 13)} == {v: "core" for v in (10, 11, 12, 13)}
+    assert got[1] == "in" and got[2] == "in" and got[30] == "in"
+    assert got[20] == "out" and got[21] == "out"
+    assert got[40] == "other" and got[41] == "other"
+
+
+def test_bowtie_paths_agree():
+    import pyarrow as pa
+    import ray.data as rd
+
+    import importlib
+
+    B = importlib.import_module("lynxkite_ray.functions.graph.bowtie")
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 50, 220).astype(np.int64)
+    dst = rng.integers(0, 50, 220).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    local = {r["id"]: r["region"] for r in B.bowtie(edges).take_all()}
+    orig = B.SCC_LOCAL_EDGES
+    B.SCC_LOCAL_EDGES = -1  # force the Dataset fixpoint path for the reach step
+    try:
+        ds = {r["id"]: r["region"] for r in B.bowtie(edges).take_all()}
+    finally:
+        B.SCC_LOCAL_EDGES = orig
+    assert ds == local
