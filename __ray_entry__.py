@@ -688,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": ST.q_reciprocity,
         "assortativity": ST.q_assortativity,
         "adamic_adar": ST.q_adamic_adar,
+        "c4_filter": TX.q_c4_filter,
         # --- never driver-checked through round 2 (union-coverage gap) ---
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -758,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components": ST.q_scc,
         "bowtie": ST.q_bowtie,
         "personalized_pagerank": ST.q_personalized_pagerank,
+        "effective_diameter": ST.q_effective_diameter,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,
@@ -851,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": ST.RECIPROCITY_SQL,
         "assortativity": ST.ASSORTATIVITY_SQL,
         "adamic_adar": ST.ADAMIC_ADAR_SQL,
+        "c4_filter": TX.C4_FILTER_SQL,
         "elementwise_mean": ELEMENTWISE_SQL,
         "elementwise_max": ELEMENTWISE_MAX_SQL,
         "linear_regression": LINREG_SQL,

@@ -51,11 +51,10 @@ def _ball_merge(shard: pa.Table, regs: np.ndarray):
     return touched, local
 
 
-def hyperball_harmonic(
-    graph: Graph, max_diameter: int = 10, p: int = 6, seed: int = 11
-) -> np.ndarray:
-    """Approximate harmonic centrality per vertex (aligned with
-    graph.vids).  p=6 → m=64 registers/vertex (~2% rel. std.err.)."""
+def _ball_rounds(graph: Graph, max_diameter: int, p: int, seed: int):
+    """Yields (t, per-vertex |B(v,t)| estimates) for t = 0, 1, … stopping
+    at register fixpoint or max_diameter — the shared HyperBall growth
+    loop behind harmonic centrality and the neighborhood function."""
     from ...ids import hash64_array
 
     V = graph.num_vertices
@@ -72,8 +71,7 @@ def hyperball_harmonic(
     regs = np.zeros((V, m), dtype=np.uint8)
     regs[np.arange(V), idx] = rank
 
-    harmonic = np.zeros(V, dtype=np.float64)
-    prev = _estimate(regs)  # ≈ 1 for every vertex
+    yield 0, _estimate(regs)  # ≈ 1 for every vertex
     for t in range(1, max_diameter + 1):
         regs_ref = ray.put(regs)
         parts = ray.get([_ball_merge.remote(s, regs_ref) for s in graph.shard_refs])
@@ -84,7 +82,49 @@ def hyperball_harmonic(
         if np.array_equal(nxt, regs):
             break
         regs = nxt
-        cur = _estimate(regs)
-        harmonic += np.maximum(cur - prev, 0.0) / t
+        yield t, _estimate(regs)
+
+
+def hyperball_harmonic(
+    graph: Graph, max_diameter: int = 10, p: int = 6, seed: int = 11
+) -> np.ndarray:
+    """Approximate harmonic centrality per vertex (aligned with
+    graph.vids).  p=6 → m=64 registers/vertex (~2% rel. std.err.)."""
+    harmonic = np.zeros(graph.num_vertices, dtype=np.float64)
+    prev = None
+    for t, cur in _ball_rounds(graph, max_diameter, p, seed):
+        if t > 0:
+            harmonic += np.maximum(cur - prev, 0.0) / t
         prev = cur
     return harmonic
+
+
+def effective_diameter(
+    graph: Graph, q: float = 0.9, max_diameter: int = 30, p: int = 6, seed: int = 11
+) -> dict:
+    """HyperANF effective diameter (Boldi-Vigna, public): the smallest t
+    (linearly interpolated) where the neighborhood function
+    N(t) = Σ_v |B(v, t)| reaches q · N(∞), N(∞) taken at register
+    fixpoint.  Returns the scalar plus the raw neighborhood function for
+    auditability."""
+    ts, nf = [], []
+    for t, cur in _ball_rounds(graph, max_diameter, p, seed):
+        ts.append(t)
+        nf.append(float(cur.sum()))
+    target = q * nf[-1]
+    eff = float(ts[-1])
+    for i in range(len(nf)):
+        if nf[i] >= target:
+            if i == 0:
+                eff = 0.0
+            else:
+                span = nf[i] - nf[i - 1]
+                frac = (target - nf[i - 1]) / span if span > 0 else 0.0
+                eff = ts[i - 1] + frac * (ts[i] - ts[i - 1])
+            break
+    return {
+        "effective_diameter": eff,
+        "q": q,
+        "neighborhood_function": nf,
+        "rounds": ts,
+    }

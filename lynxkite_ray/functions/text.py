@@ -592,3 +592,38 @@ def tfidf_top_terms(
         return pa.table({id_col: ids[keep], "token": toks[keep], "tfidf": sc[keep]})
 
     return part.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_filter(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """C4/Gopher-style composite quality gate: keep documents with
+    ≥10 tokens, mean token length in [3, 10], duplicate-word mass < 0.3
+    and stopword ratio > 0.01 (public filter recipe family).  Every signal
+    is an exact integer ratio, so the keep decision is bit-identical to
+    the SQL oracle with no rounding.  One per-batch pass — the composite
+    reuses the same token walk for all four signals instead of chaining
+    four separate ops."""
+    from collections import Counter
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        out = []
+        for i, s in enumerate(t.column(col).to_pylist()):
+            toks = tokenize(s)
+            n = len(toks)
+            if n < 10:
+                continue
+            nchars = sum(len(w) for w in toks)
+            mean_len = nchars / n
+            if not (3.0 <= mean_len <= 10.0):
+                continue
+            c = Counter(toks)
+            dup_mass = sum(v for v in c.values() if v > 1)
+            if dup_mass / n >= 0.3:
+                continue
+            stops = sum(1 for w in toks if w.lower() in _STOPWORDS_ALL)
+            if stops / n <= 0.01:
+                continue
+            out.append(ids[i])
+        return pa.table({id_col: pa.array(np.asarray(out, dtype=np.int64))})
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1113,3 +1113,27 @@ def q_personalized_pagerank(sf_dir: str):
     return rd.from_arrow(
         pa.table({"id": g.vids, "pprank": round_away(ranks, 9)})
     )
+
+
+def q_effective_diameter(sf_dir: str):
+    """HyperANF 90% effective diameter of the co-purchase graph — one-row
+    scalar, rows-only (approximate by construction; pytest tolerance vs
+    exact BFS distance distribution)."""
+    import ray.data as rd
+
+    from ..functions.graph.hyperball import effective_diameter
+
+    from .copurchase import copurchase_graph
+
+    g = copurchase_graph(sf_dir, symmetric=True)
+    res = effective_diameter(g, q=0.9, max_diameter=30)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "effective_diameter": np.array(
+                    [res["effective_diameter"]], np.float64
+                ),
+                "rounds": np.array([len(res["rounds"]) - 1], np.int64),
+            }
+        )
+    )

@@ -399,3 +399,32 @@ ranked AS (
 )
 SELECT doc_id, token, tfidf FROM ranked WHERE rk <= 3
 """
+
+
+def q_c4_filter(sf_dir: str):
+    return T.c4_filter(_docs(sf_dir))
+
+
+C4_FILTER_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nchars
+  FROM documents WHERE trim(text) != ''
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS word FROM tk) GROUP BY doc_id, word
+),
+dup AS (
+  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_mass
+  FROM wc GROUP BY doc_id
+)
+SELECT tk.doc_id FROM tk JOIN dup ON dup.doc_id = tk.doc_id
+WHERE len(toks) >= 10
+  AND nchars::DOUBLE / len(toks) BETWEEN 3.0 AND 10.0
+  AND dup.dup_mass::DOUBLE / len(toks) < 0.3
+  AND len(list_filter(ltoks, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+      / len(toks) > 0.01
+"""

@@ -559,3 +559,58 @@ def test_gcn_regressor_transductive():
     held = [i for i in range(40) if i % 2 == 1]
     err = np.mean([abs(pred[i] - target_true[i]) for i in held])
     assert err < 3.0, err
+
+
+def test_effective_diameter_vs_exact_bfs():
+    """HyperANF effective diameter within tolerance of the exact value
+    computed from the full BFS distance distribution (same interpolated
+    definition)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import deque
+
+    from lynxkite_ray.functions.graph import Graph
+    from lynxkite_ray.functions.graph.hyperball import effective_diameter
+
+    rng = np.random.default_rng(9)
+    n = 300
+    src = rng.integers(0, n, 1400).astype(np.int64)
+    dst = rng.integers(0, n, 1400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # symmetrize so the ball growth is over an undirected graph
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    g = Graph.from_edges(rd.from_arrow(pa.table({"src": s, "dst": d})))
+    got = effective_diameter(g, q=0.9, max_diameter=30)
+
+    # exact neighborhood function via BFS from every vertex
+    adj = {}
+    for a, b in zip(s.tolist(), d.tolist()):
+        adj.setdefault(a, set()).add(b)
+    vids = g.vids.tolist()
+    maxd = 0
+    dist_counts = {}
+    for v in vids:
+        seen = {v: 0}
+        dq = deque([v])
+        while dq:
+            u = dq.popleft()
+            for w in adj.get(u, ()):
+                if w not in seen:
+                    seen[w] = seen[u] + 1
+                    dq.append(w)
+        for t in seen.values():
+            dist_counts[t] = dist_counts.get(t, 0) + 1
+            maxd = max(maxd, t)
+    nf = np.cumsum([dist_counts.get(t, 0) for t in range(maxd + 1)]).astype(float)
+    target = 0.9 * nf[-1]
+    i = int(np.searchsorted(nf, target))
+    if i == 0:
+        exact = 0.0
+    else:
+        span = nf[i] - nf[i - 1]
+        exact = (i - 1) + ((target - nf[i - 1]) / span if span > 0 else 0.0)
+    assert abs(got["effective_diameter"] - exact) <= 0.75, (
+        got["effective_diameter"], exact,
+    )
