@@ -236,12 +236,35 @@ def degree_assortativity(edges: Dataset) -> Dataset:
     )
 
 
-def _aa_local(si: np.ndarray, di: np.ndarray, deg: np.ndarray, V: int):
-    """Vectorized single-pass AA over the dense-index simple graph: full
-    undirected CSR → all neighbor pairs per middle via the repeat/arange
-    wedge trick (triangles._wedge_chunk pattern) → existing edges dropped
-    by sorted-key probe → per-pair sums via np.unique inverse.  Returns
-    (a_idx, c_idx, aa) for every non-adjacent distance-2 pair."""
+_LP_WEIGHTS = ("adamic_adar", "resource_allocation", "common_neighbors")
+
+
+def _mid_weight(deg: np.ndarray, weight: str) -> np.ndarray:
+    """Per-middle-vertex contribution of the chosen link-prediction index:
+    AA = 1/ln(deg), RA = 1/deg (Zhou-Lü-Zhang 2009), CN = 1."""
+    w = np.zeros(len(deg), dtype=np.float64)
+    multi = deg >= 2
+    if weight == "adamic_adar":
+        w[multi] = 1.0 / np.log(deg[multi])
+    elif weight == "resource_allocation":
+        w[multi] = 1.0 / deg[multi]
+    elif weight == "common_neighbors":
+        w[multi] = 1.0
+    else:
+        raise ValueError(f"weight must be one of {_LP_WEIGHTS}")
+    return w
+
+
+def _aa_local(
+    si: np.ndarray, di: np.ndarray, deg: np.ndarray, V: int,
+    weight: str = "adamic_adar",
+):
+    """Vectorized single-pass link-prediction scores over the dense-index
+    simple graph: full undirected CSR → all neighbor pairs per middle via
+    the repeat/arange wedge trick (triangles._wedge_chunk pattern) →
+    existing edges dropped by sorted-key probe → per-pair sums via
+    np.unique inverse.  Returns (a_idx, c_idx, score) for every
+    non-adjacent distance-2 pair."""
     # full CSR over both directions, neighbors sorted per vertex
     mids = np.concatenate([si, di])
     nbrs = np.concatenate([di, si])
@@ -249,9 +272,7 @@ def _aa_local(si: np.ndarray, di: np.ndarray, deg: np.ndarray, V: int):
     mids, nbrs = mids[order], nbrs[order]
     indptr = np.zeros(V + 1, dtype=np.int64)
     np.cumsum(np.bincount(mids, minlength=V), out=indptr[1:])
-    w = np.zeros(V, dtype=np.float64)
-    multi = deg >= 2
-    w[multi] = 1.0 / np.log(deg[multi])
+    w = _mid_weight(deg, weight)
     # for every position p (a neighbor x of mid), partners = the later,
     # larger neighbors of the same mid — each unordered pair once
     pos = np.arange(len(nbrs), dtype=np.int64)
@@ -288,13 +309,18 @@ def _aa_local(si: np.ndarray, di: np.ndarray, deg: np.ndarray, V: int):
     return (uk // V).astype(np.int64), (uk % V).astype(np.int64), aa
 
 
-def adamic_adar(edges: Dataset, k: int = 100) -> Dataset:
-    """Top-k Adamic-Adar link-prediction candidates over the simple
-    undirected graph: for every non-adjacent pair (a, c) at distance 2,
-    AA = Σ_{w ∈ N(a)∩N(c)} 1/ln(deg(w)) (Adamic & Adar 2003, public
-    formula; middle vertices always have deg ≥ 2, so the log never
-    vanishes).  Ranked by the 6-decimal-rounded score (desc, then src,
-    dst asc) so the SQL oracle's ROW_NUMBER sees the identical order.
+def adamic_adar(
+    edges: Dataset, k: int = 100, weight: str = "adamic_adar"
+) -> Dataset:
+    """Top-k link-prediction candidates over the simple undirected graph:
+    for every non-adjacent pair (a, c) at distance 2, score =
+    Σ_{w ∈ N(a)∩N(c)} f(deg(w)) with f per ``weight``: Adamic-Adar
+    1/ln(deg) (Adamic & Adar 2003), resource allocation 1/deg
+    (Zhou-Lü-Zhang 2009), or common neighbors 1 — middle vertices always
+    have deg ≥ 2, so the log never vanishes.  Ranked by the
+    6-decimal-rounded score (desc, then src, dst asc) so the SQL oracle's
+    ROW_NUMBER sees the identical order.  Output column is ``aa``
+    regardless of index (one schema for the whole family).
 
     Dataset shape: wedge enumeration is ONE self-join of the reversed edge
     table on the middle vertex with the middle's 1/ln(deg) attached
@@ -323,7 +349,7 @@ def adamic_adar(edges: Dataset, k: int = 100) -> Dataset:
             # Σdeg² bounds the wedge fan-out; past ~2·10⁸ pairs the local
             # arrays stop being cheap and the join path takes over
             if float(np.square(deg.astype(np.float64)).sum()) <= 2e8:
-                a_out, c_out, aa = _aa_local(si, di, deg, V)
+                a_out, c_out, aa = _aa_local(si, di, deg, V, weight)
                 score = round_away(aa, 6)
                 order = np.lexsort((vids[c_out], vids[a_out], -score))[:k]
                 return rd.from_arrow(
@@ -335,12 +361,13 @@ def adamic_adar(edges: Dataset, k: int = 100) -> Dataset:
                         }
                     )
                 )
-    return _aa_dataset(canon, k)
+    return _aa_dataset(canon, k, weight)
 
 
-def _aa_dataset(canon: Dataset, k: int) -> Dataset:
-    """Dataset-join AA over a canonical simple edge Dataset (the
-    beyond-one-worker path of adamic_adar; identical algebra and ranking)."""
+def _aa_dataset(canon: Dataset, k: int, weight: str = "adamic_adar") -> Dataset:
+    """Dataset-join link prediction over a canonical simple edge Dataset
+    (the beyond-one-worker path of adamic_adar; identical algebra and
+    ranking)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -361,18 +388,23 @@ def _aa_dataset(canon: Dataset, k: int) -> Dataset:
             batch_size=COALESCE_BATCH,
         )
     )
+    if weight not in _LP_WEIGHTS:
+        raise ValueError(f"weight must be one of {_LP_WEIGHTS}")
+
+    def attach_w(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["d"], pa.float64())
+        if weight == "adamic_adar":
+            w = pc.divide(1.0, pc.ln(d))
+        elif weight == "resource_allocation":
+            w = pc.divide(1.0, d)
+        else:
+            w = pa.array(np.ones(t.num_rows, dtype=np.float64))
+        return pa.table({"mid": t["src"], "c": t["dst"], "w": w})
+
     right = both.join(
         deg, join_type="inner", num_partitions=npart, on=("src",), right_on=("v",)
     ).map_batches(
-        lambda t: pa.table(
-            {
-                "mid": t["src"],
-                "c": t["dst"],
-                "w": pc.divide(
-                    1.0, pc.ln(pc.cast(t["d"], pa.float64()))
-                ),
-            }
-        ),
+        attach_w,
         batch_format="pyarrow",
         batch_size=COALESCE_BATCH,
     )

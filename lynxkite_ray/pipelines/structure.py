@@ -1137,3 +1137,40 @@ def q_effective_diameter(sf_dir: str):
             }
         )
     )
+
+
+def q_resource_allocation(sf_dir: str):
+    """Top-100 resource-allocation-index candidates (same kernel as
+    adamic_adar with f = 1/deg)."""
+    from ..functions.graph.metrics import adamic_adar
+
+    return adamic_adar(precedence_edges(sf_dir), k=100, weight="resource_allocation")
+
+
+RESOURCE_ALLOCATION_SQL = (
+    "WITH "
+    + PREC_CTE.strip()
+    + """,
+edges AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+          FROM prec),
+pairs AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM pairs GROUP BY 1),
+wedge AS (
+  SELECT b1.src AS a, b2.dst AS c, b1.dst AS mid
+  FROM pairs b1 JOIN pairs b2 ON b1.dst = b2.src AND b1.src < b2.dst
+),
+cand AS (
+  SELECT w.a AS src, w.c AS dst, SUM(1.0 / deg.d) AS aa
+  FROM wedge w
+  JOIN deg ON deg.v = w.mid
+  LEFT JOIN edges e ON e.src = w.a AND e.dst = w.c
+  WHERE e.src IS NULL
+  GROUP BY 1, 2
+)
+SELECT src, dst, aa FROM (
+  SELECT src, dst, ROUND(aa, 6) AS aa,
+         ROW_NUMBER() OVER (ORDER BY ROUND(aa, 6) DESC, src ASC, dst ASC) AS rk
+  FROM cand
+) WHERE rk <= 100
+"""
+)

@@ -611,14 +611,17 @@ def test_adamic_adar_paths_agree():
     src = rng.integers(0, 60, 300).astype(np.int64)
     dst = rng.integers(0, 60, 300).astype(np.int64)
     edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
-    local = adamic_adar(edges, k=40).take_all()
-    ds = _aa_dataset(canonical_edges(edges).materialize(), k=40).take_all()
     key = lambda r: (r["src"], r["dst"])
-    assert sorted(map(key, local)) == sorted(map(key, ds))
-    got_l = {key(r): r["aa"] for r in local}
-    got_d = {key(r): r["aa"] for r in ds}
-    for p in got_l:
-        assert abs(got_l[p] - got_d[p]) < 1e-9
+    for weight in ("adamic_adar", "resource_allocation", "common_neighbors"):
+        local = adamic_adar(edges, k=40, weight=weight).take_all()
+        ds = _aa_dataset(
+            canonical_edges(edges).materialize(), k=40, weight=weight
+        ).take_all()
+        assert sorted(map(key, local)) == sorted(map(key, ds)), weight
+        got_l = {key(r): r["aa"] for r in local}
+        got_d = {key(r): r["aa"] for r in ds}
+        for p in got_l:
+            assert abs(got_l[p] - got_d[p]) < 1e-9
 
 
 def test_scc_vs_kosaraju_oracle():
