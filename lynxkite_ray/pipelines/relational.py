@@ -1292,3 +1292,87 @@ o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
 SELECT k, COALESCE(n_events, 0) AS n_events, COALESCE(n_orders, 0) AS n_orders
 FROM e FULL OUTER JOIN o USING (k)
 """
+
+
+def events_funnel(sf_dir: str):
+    """Greedy per-user funnel view → click → purchase: depth 1 if the user
+    ever viewed, 2 if a click follows the FIRST view, 3 if a purchase
+    follows that first qualifying click (the standard event-analytics
+    funnel semantics — each stage anchors at the earliest qualifying
+    event).  One key shuffle by user; per block the three stages are
+    grouped mins via lexsort + minimum.reduceat with masked candidates —
+    no per-user Python."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    part = hash_partition(ev, ["user_id"])
+    INF = np.iinfo(np.int64).max
+
+    def stage_min(u_all, users, ts, mask):
+        """min ts per user in `users` (sorted unique) over rows where mask
+        holds; INF where no qualifying row."""
+        vals = np.where(mask, ts, INF)
+        order = np.argsort(u_all, kind="stable")
+        us, vs = u_all[order], vals[order]
+        brk = np.empty(len(us), dtype=bool)
+        if len(us):
+            brk[0] = True
+            brk[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(brk)
+        mins = np.minimum.reduceat(vs, starts) if len(starts) else np.empty(0, np.int64)
+        out = np.full(len(users), INF, dtype=np.int64)
+        pos = np.searchsorted(users, us[starts])
+        out[pos] = mins
+        return out
+
+    def funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "funnel_depth": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        users = np.unique(u)
+        t1 = stage_min(u, users, ts, et == "view")
+        t1_of_row = t1[np.searchsorted(users, u)]
+        t2 = stage_min(u, users, ts, (et == "click") & (ts > t1_of_row))
+        t2_of_row = t2[np.searchsorted(users, u)]
+        t3 = stage_min(u, users, ts, (et == "purchase") & (ts > t2_of_row))
+        depth = (t1 < INF).astype(np.int64)
+        depth += ((t2 < INF) & (t1 < INF)).astype(np.int64)
+        depth += ((t3 < INF) & (t2 < INF)).astype(np.int64)
+        keep = t1 < INF
+        return pa.table(
+            {"user_id": users[keep], "funnel_depth": depth[keep]}
+        )
+
+    return part.map_batches(funnel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT s1.user_id,
+       CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS funnel_depth
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+"""
