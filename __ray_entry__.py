@@ -762,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": ST.q_bowtie,
         "personalized_pagerank": ST.q_personalized_pagerank,
         "effective_diameter": ST.q_effective_diameter,
+        "hits_scores": ST.q_hits,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,

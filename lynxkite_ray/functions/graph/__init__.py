@@ -8,3 +8,4 @@ from .scc import strongly_connected_components  # noqa: F401
 from .metrics import adamic_adar, degree_assortativity, reciprocity  # noqa: F401
 from .bowtie import bowtie  # noqa: F401
 from .pagerank import personalized_pagerank  # noqa: F401
+from .hits import hits  # noqa: F401

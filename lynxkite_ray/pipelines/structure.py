@@ -1174,3 +1174,23 @@ SELECT src, dst, aa FROM (
 ) WHERE rk <= 100
 """
 )
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities on the directed precedence graph — rows-only
+    (power iteration; pytest vs a dense numpy oracle)."""
+    import ray.data as rd
+
+    from ..functions.graph import Graph, hits
+
+    g = Graph.from_edges(precedence_edges(sf_dir))
+    hub, auth = hits(g, iterations=30)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": g.vids,
+                "hub": round_away(hub, 9),
+                "authority": round_away(auth, 9),
+            }
+        )
+    )

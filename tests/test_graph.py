@@ -755,3 +755,41 @@ def test_bowtie_paths_agree():
     finally:
         B.SCC_LOCAL_EDGES = orig
     assert ds == local
+
+
+def test_hits_vs_dense_oracle():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import Graph, hits
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 40, 200).astype(np.int64)
+    dst = rng.integers(0, 40, 200).astype(np.int64)
+    keep = src != dst
+    pairs = sorted(set(zip(src[keep].tolist(), dst[keep].tolist())))
+    g = Graph.from_edges(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": np.array([p[0] for p in pairs], np.int64),
+                    "dst": np.array([p[1] for p in pairs], np.int64),
+                }
+            )
+        )
+    )
+    hub, auth = hits(g, iterations=40)
+
+    V = g.num_vertices
+    A = np.zeros((V, V))
+    idx = {v: i for i, v in enumerate(g.vids.tolist())}
+    for s, d in pairs:
+        A[idx[s], idx[d]] = 1.0
+    h = np.full(V, 1.0 / np.sqrt(V))
+    for _ in range(40):
+        a = A.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = A @ a
+        h /= np.linalg.norm(h) or 1.0
+    np.testing.assert_allclose(hub, h, atol=1e-8)
+    np.testing.assert_allclose(auth, a, atol=1e-8)
