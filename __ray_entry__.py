@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter": TX.q_c4_filter,
         "resource_allocation": ST.q_resource_allocation,
         "events_funnel": R.events_funnel,
+        "cohort_retention": R.cohort_retention,
         # --- never driver-checked through round 2 (union-coverage gap) ---
         "pages_flagship": FS.q_pages_flagship,
         "pages_extract_text": FS.q_pages_extract_text,
@@ -859,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": TX.C4_FILTER_SQL,
         "resource_allocation": ST.RESOURCE_ALLOCATION_SQL,
         "events_funnel": R.FUNNEL_SQL,
+        "cohort_retention": R.COHORT_RETENTION_SQL,
         "elementwise_mean": ELEMENTWISE_SQL,
         "elementwise_max": ELEMENTWISE_MAX_SQL,
         "linear_regression": LINREG_SQL,

@@ -1376,3 +1376,72 @@ FROM s1
 LEFT JOIN s2 ON s2.user_id = s1.user_id
 LEFT JOIN s3 ON s3.user_id = s1.user_id
 """
+
+
+def cohort_retention(sf_dir: str):
+    """Weekly cohort retention: cohort = Monday-truncated week of each
+    user's first event; one row per (cohort, week_offset) with the count
+    of distinct users from that cohort active in that week — the standard
+    retention triangle.  One key shuffle by user (first-event and offsets
+    are user-local), vectorized week math per block, then one tiny global
+    count aggregate."""
+    from ..stages.shuffle import grouped_aggregate, hash_partition
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    part = hash_partition(ev, ["user_id"])
+    DAY_US = 86_400_000_000
+
+    def weeks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort": pa.array([], pa.timestamp("us")),
+                    "week_offset": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        days = ts // DAY_US
+        # 1970-01-01 was a Thursday (weekday 3 with Monday = 0)
+        monday = days - (days + 3) % 7
+        order = np.lexsort((monday, u))
+        us, wk = u[order], monday[order]
+        brk = np.empty(len(us), dtype=bool)
+        brk[0] = True
+        brk[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(brk)
+        first_wk = np.repeat(wk[starts], np.diff(np.append(starts, len(us))))
+        offset = (wk - first_wk) // 7
+        # distinct (user, offset) within the block (users are block-local)
+        key_brk = brk | np.concatenate(([True], offset[1:] != offset[:-1]))
+        keep = key_brk
+        cohort_us = (first_wk[keep] * DAY_US).astype("datetime64[us]")
+        return pa.table(
+            {
+                "cohort": pa.array(cohort_us),
+                "week_offset": offset[keep].astype(np.int64),
+                "user_id": us[keep],
+            }
+        )
+
+    rows = part.map_batches(weeks, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(
+        rows, ["cohort", "week_offset"], [("user_id", "count", "n_active")]
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(date_diff('day', CAST(f.cohort AS DATE),
+                        date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT cohort, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity GROUP BY 1, 2
+"""
