@@ -764,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": ST.q_personalized_pagerank,
         "effective_diameter": ST.q_effective_diameter,
         "hits_scores": ST.q_hits,
+        "pagerank_converged": ST.q_pagerank_converged,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,

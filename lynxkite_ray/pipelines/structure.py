@@ -1194,3 +1194,19 @@ def q_hits(sf_dir: str):
             }
         )
     )
+
+
+def q_pagerank_converged(sf_dir: str):
+    """North-rule convergence mode: power iteration with tol=1e-6 early
+    stop (max 100 rounds) instead of a fixed iteration count — rows-only
+    (pytest pins early-stop/fixed-run agreement and the residual
+    monotonicity)."""
+    import ray.data as rd
+
+    from ..functions.graph import pagerank
+
+    from .copurchase import copurchase_graph
+
+    g = copurchase_graph(sf_dir, symmetric=True)
+    ranks = pagerank(g, damping=0.85, iterations=100, tol=1e-6)
+    return rd.from_arrow(pa.table({"id": g.vids, "rank": round_away(ranks, 9)}))

@@ -793,3 +793,29 @@ def test_hits_vs_dense_oracle():
         h /= np.linalg.norm(h) or 1.0
     np.testing.assert_allclose(hub, h, atol=1e-8)
     np.testing.assert_allclose(auth, a, atol=1e-8)
+
+
+def test_pagerank_tol_early_stop_matches_long_run(tmp_path):
+    """tol=1e-6 convergence mode: the early-stopped vector agrees with a
+    long fixed run to within the tolerance, the checkpoint manifest marks
+    convergence, and strictly fewer rounds ran than the cap."""
+    import os
+
+    edges, _ = random_graph(150, 3, 41)
+    g = Graph.from_edges(edges_ds(edges), extra_vertices=np.arange(150))
+    converged = pagerank(
+        g, damping=0.85, iterations=200, tol=1e-6, checkpoint_root=str(tmp_path)
+    )
+    long_run = pagerank(g, damping=0.85, iterations=200)
+    np.testing.assert_allclose(converged, long_run, atol=1e-4)
+
+    from lynxkite_ray.state.checkpoint import CheckpointManager, lineage_key
+
+    ck = CheckpointManager(
+        str(tmp_path), "pagerank", "pagerank", lineage_key(g.lineage, 0.85, 200, 1e-6)
+    )
+    last = ck.latest()
+    assert last is not None and last < 199  # early stop actually happened
+    m = ck.manifest(last)
+    assert m["metrics"]["converged"] is True
+    assert m["metrics"]["residual"] < 1e-6
