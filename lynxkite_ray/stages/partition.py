@@ -10,9 +10,9 @@ Two-path lookup exactly as the reference does it:
   is collected into a broadcast dict (``ray.put`` once) and looked up
   inside ``map_batches`` — no shuffle of the skewed rows, no hot partition
 
-``salt_keys`` additionally spreads a hot key across ``factor`` sub-keys for
-downstream aggregates (combine per salted key first, then a tiny final
-combine per original key).
+Hot-key salting for aggregates lives in ``shuffle.grouped_aggregate(...,
+salt=N)``: partials fan out over N sub-reducers before the final per-key
+combine.
 """
 
 from __future__ import annotations
@@ -110,22 +110,3 @@ def broadcast_lookup(
     return big.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def salt_keys(ds: Dataset, key: str, hubs: np.ndarray, factor: int = 16,
-              out: str = "_salted") -> Dataset:
-    """Append a salted key column: hub keys fan out over ``factor``
-    deterministic sub-keys (row-content hash), non-hubs keep sub-key 0.
-    Aggregate by (key, salt) first, then finally by key — two small
-    combines instead of one hot partition."""
-    ref = ray.put(hubs)
-
-    def body(t: pa.Table) -> pa.Table:
-        hs = ray.get(ref)
-        k = t.column(key).to_numpy()
-        is_hub = np.isin(k, hs)
-        salt = np.zeros(len(k), dtype=np.int64)
-        # deterministic spread: position-independent mix of the key and a
-        # per-row counter modulo factor
-        salt[is_hub] = (np.arange(len(k))[is_hub] * 2654435761 % factor)
-        return t.append_column(out, pa.array(salt))
-
-    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
