@@ -168,11 +168,15 @@ def join_orders_customers(sf_dir: str):
         orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
     )
 
-    def prep(df):
-        df["total_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
-        return df[["c_mktsegment", "total_cents"]]
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "total_cents": _cents(t["o_totalprice"]),
+            }
+        )
 
-    g = j.map_batches(prep, batch_format="pandas")
+    g = j.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return g.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
     )

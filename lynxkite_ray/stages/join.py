@@ -2,9 +2,10 @@
 
 - ``hash_join`` — Ray Data's hash-partitioned ``Dataset.join`` (the
   sortedJoin analog; both sides large).
-- ``broadcast_join`` — small side ``ray.put`` ONCE, pandas-merged inside
-  ``map_batches`` per block (HybridRDD.smallTableLookup analog,
-  HybridRDD.scala:95-100): no shuffle of the big side.
+- ``broadcast_join`` — small side ``ray.put`` ONCE as an Arrow table,
+  joined inside ``map_batches`` per block with ``pa.Table.join`` (Acero's
+  C++ hash join; HybridRDD.smallTableLookup analog, HybridRDD.scala:
+  95-100): no shuffle of the big side, no pandas conversion.
 - ``semi_join`` / ``anti_join`` — broadcast key-set membership filter
   (FilterByTable.scala:19 / NotFilter composition), vectorized with
   ``pyarrow.compute.is_in``.
@@ -62,12 +63,9 @@ _BCAST_CACHE_MAX = 4
 def _fetch_small(small_ref):
     key = small_ref.hex()
     if key not in _BCAST_CACHE:
-        small = ray.get(small_ref)
-        if isinstance(small, pa.Table):
-            small = small.to_pandas()
         while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
             _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
-        _BCAST_CACHE[key] = small
+        _BCAST_CACHE[key] = ray.get(small_ref)
     else:
         _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)  # refresh LRU position
     return _BCAST_CACHE[key]
@@ -76,31 +74,45 @@ def _fetch_small(small_ref):
 def broadcast_join(
     big: Dataset, small, on, how: str = "inner", right_on=None, concurrency=None
 ) -> Dataset:
-    """``small`` is a pandas DataFrame / Arrow table (or a Dataset small
-    enough to collect). Shipped to the object store once; every block of
-    ``big`` merges against it locally — the skew-immune small-side path."""
-    import pandas as pd
+    """``small`` is an Arrow table / pandas DataFrame (or a Dataset small
+    enough to collect). Shipped to the object store once as Arrow; every
+    block of ``big`` runs Acero's C++ hash join against it locally — the
+    skew-immune small-side path, zero-copy end to end.
 
+    Only ``inner`` and ``left`` are expressible per-block (a right/full
+    outer over a broadcast side would emit unmatched right rows once per
+    block); use ``hash_join`` for those."""
+    join_type = {"inner": "inner", "left": "left outer"}.get(how)
+    if join_type is None:
+        raise ValueError(
+            f"broadcast_join supports how='inner'/'left' only (got {how!r}); "
+            "right/full outer need hash_join"
+        )
     if isinstance(small, Dataset):
-        small = small.to_pandas()
-    if isinstance(small, pa.Table):
-        small = small.to_pandas()
+        small = pa.concat_tables(
+            small.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    if not isinstance(small, pa.Table):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    small = small.combine_chunks()
     on = [on] if isinstance(on, str) else list(on)
-    right_on = [right_on] if isinstance(right_on, str) else right_on
+    right_on = (
+        [right_on]
+        if isinstance(right_on, str)
+        else (list(right_on) if right_on else on)
+    )
     ref = ray.put(small)
-    right_cols = right_on
 
-    def merge(batch):
+    def merge(batch: pa.Table) -> pa.Table:
         sm = _fetch_small(ref)
-        merged = batch.merge(sm, how=how, left_on=on, right_on=right_cols or on)
-        if right_cols and right_cols != on:
-            merged = merged.drop(columns=[c for c in right_cols if c not in on])
-        return merged
+        return batch.join(
+            sm, keys=on, right_keys=right_on, join_type=join_type
+        )
 
     # Stateless tasks (not an actor pool): the broadcast side is fetched
     # from the object store per worker via _fetch_small's cache, and tasks
     # never starve the upstream read stage of CPUs.
-    return big.map_batches(merge, batch_format="pandas")
+    return big.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _key_set(keys_ds: Dataset, col: str) -> np.ndarray:
