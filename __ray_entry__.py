@@ -334,7 +334,7 @@ def _q_triangles_per_vertex(sf_dir: str):
     from lynxkite_ray.functions.graph import triangles_per_vertex
     from lynxkite_ray.pipelines.copurchase import copurchase_edges
 
-    return triangles_per_vertex(copurchase_edges(sf_dir))
+    return triangles_per_vertex(copurchase_edges(sf_dir), assume_canonical=True)
 
 
 def _q_in_degree(sf_dir: str):
@@ -351,7 +351,7 @@ def _q_triangles(sf_dir: str):
     from lynxkite_ray.functions.graph import triangle_count
     from lynxkite_ray.pipelines.copurchase import copurchase_edges
 
-    n = triangle_count(copurchase_edges(sf_dir))
+    n = triangle_count(copurchase_edges(sf_dir), assume_canonical=True)
     return pa.table({"triangles": pa.array([n], type=pa.int64())})
 
 

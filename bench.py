@@ -150,7 +150,7 @@ def bench_copurchase() -> dict:
     cc_sec = min_of_2(lambda: connected_components(g2))
     lpa_sec = min_of_2(lambda: label_propagation(g2, iterations=3))
     t5 = time.time()
-    tc = triangle_count(edges)
+    tc = triangle_count(edges, assume_canonical=True)
     t6 = time.time()
     return {
         "copurchase_edges_sec": round(t1 - t0, 3),

@@ -22,10 +22,8 @@ import ray
 
 from ray.data import Dataset
 
-from ...context import LOCAL_EDGE_THRESHOLD
 from ...util import round_away
-from ..graph.triangles import _count_csr, _gather_canonical, _triangles_distributed
-from ...stages.edges import canonical_edges
+from ..graph.triangles import _count_bundle, _prepare, _triangles_distributed
 
 
 def _clustering_distributed(canon: Dataset, num_partitions: int | None = None) -> Dataset:
@@ -61,26 +59,24 @@ def _clustering_distributed(canon: Dataset, num_partitions: int | None = None) -
     return joined.map_batches(cc, batch_format="pyarrow")
 
 
-def clustering_coefficient(edges: Dataset) -> Dataset:
+def clustering_coefficient(edges: Dataset, assume_canonical: bool = False) -> Dataset:
     """(id, clustering) over the undirected simple graph, rounded 6
     (half-away, SQL-parity). Degree-<2 vertices get 0.0.  Gated like
     triangle_count: above LOCAL_EDGE_THRESHOLD the Dataset-join path runs
     instead of the driver gather."""
     import ray.data as rd
 
-    canon = canonical_edges(edges).materialize()
-    if canon.count() > LOCAL_EDGE_THRESHOLD:
+    canon, csr = _prepare(edges, assume_canonical)
+    if csr is None:
         return _clustering_distributed(canon)
-    s, d = _gather_canonical(canon)
-    if len(s) == 0:
+    if csr == "empty":
         return rd.from_arrow(
             pa.table({"id": np.empty(0, np.int64), "clustering": np.empty(0, np.float64)})
         )
-    _, tri, vids = _count_csr(s, d, per_vertex=True)
-    V = len(vids)
-    si = np.searchsorted(vids, s)
-    di = np.searchsorted(vids, d)
-    deg = np.bincount(si, minlength=V) + np.bincount(di, minlength=V)
+    _, tri, vids = _count_bundle(csr, per_vertex=True)
+    V = csr["V"]
+    # degree over the oriented arrays (a, b) — same multiset as (s, d)
+    deg = np.bincount(csr["a"], minlength=V) + np.bincount(csr["b"], minlength=V)
     denom = deg.astype(np.float64) * (deg - 1) / 2.0
     cc = np.zeros(V, dtype=np.float64)
     nz = denom > 0

@@ -215,7 +215,7 @@ def q_clustering_coefficient(sf_dir: str):
 
     from .copurchase import copurchase_edges
 
-    return clustering_coefficient(copurchase_edges(sf_dir))
+    return clustering_coefficient(copurchase_edges(sf_dir), assume_canonical=True)
 
 
 CLUSTERING_SQL = """
@@ -281,7 +281,7 @@ def q_embeddedness(sf_dir: str):
 
     from .copurchase import copurchase_edges
 
-    return embeddedness(copurchase_edges(sf_dir))
+    return embeddedness(copurchase_edges(sf_dir), assume_canonical=True)
 
 
 EMBEDDEDNESS_SQL = """
