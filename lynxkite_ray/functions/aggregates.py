@@ -117,7 +117,16 @@ def max_by(ds: Dataset, key: str, on: str, by: str, out: str = "max_by") -> Data
 
     def reduce_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t
+            # emit the same (key, by, on) layout as the non-empty branch —
+            # input order is (key, on, by), so passing t through would mix
+            # block schemas (ADVICE r3)
+            return pa.table(
+                {
+                    key: pa.array([], t.schema.field(key).type),
+                    by: pa.array([], t.schema.field(by).type),
+                    on: pa.array([], t.schema.field(on).type),
+                }
+            )
         k = t.column(key).to_numpy(zero_copy_only=False)
         b = t.column(by).to_numpy(zero_copy_only=False)
         v = np.asarray(t.column(on).to_pylist(), dtype=object)

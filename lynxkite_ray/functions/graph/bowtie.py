@@ -88,8 +88,16 @@ def bowtie(edges: Dataset, max_rounds: int = 50) -> Dataset:
         batch_size=COALESCE_BATCH,
     ).materialize()
     npart = default_partitions()
-    fwd = _directed_min_fixpoint(dedup, labels0, False, npart, max_rounds)
-    bwd = _directed_min_fixpoint(dedup, labels0, True, npart, max_rounds).map_batches(
+    fwd, f_ok = _directed_min_fixpoint(dedup, labels0, False, npart, max_rounds)
+    bwd, b_ok = _directed_min_fixpoint(dedup, labels0, True, npart, max_rounds)
+    if not (f_ok and b_ok):
+        # a truncated reach vector misclassifies IN/OUT vertices more than
+        # max_rounds hops from the core as "other" — refuse instead
+        raise RuntimeError(
+            f"bowtie: seeded min-reach fixpoint did not converge within "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
+    bwd = bwd.map_batches(
         lambda t: t.rename_columns(["id", "b"]),
         batch_format="pyarrow",
         batch_size=COALESCE_BATCH,

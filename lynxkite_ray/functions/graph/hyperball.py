@@ -51,10 +51,17 @@ def _ball_merge(shard: pa.Table, regs: np.ndarray):
     return touched, local
 
 
-def _ball_rounds(graph: Graph, max_diameter: int, p: int, seed: int):
+def _ball_rounds(
+    graph: Graph, max_diameter: int, p: int, seed: int, status: dict | None = None
+):
     """Yields (t, per-vertex |B(v,t)| estimates) for t = 0, 1, … stopping
     at register fixpoint or max_diameter — the shared HyperBall growth
-    loop behind harmonic centrality and the neighborhood function."""
+    loop behind harmonic centrality and the neighborhood function.
+
+    If ``status`` is given, ``status["converged"]`` is set True only when
+    the register FIXPOINT was reached (the last estimate is a true N(∞));
+    left False when the loop stopped at ``max_diameter`` with the balls
+    still growing (the neighborhood function is truncated — ADVICE r3)."""
     from ...ids import hash64_array
 
     V = graph.num_vertices
@@ -80,6 +87,8 @@ def _ball_rounds(graph: Graph, max_diameter: int, p: int, seed: int):
             # advanced indexing yields a copy — assign the max back
             nxt[touched] = np.maximum(nxt[touched], local)
         if np.array_equal(nxt, regs):
+            if status is not None:
+                status["converged"] = True
             break
         regs = nxt
         yield t, _estimate(regs)
@@ -106,9 +115,14 @@ def effective_diameter(
     (linearly interpolated) where the neighborhood function
     N(t) = Σ_v |B(v, t)| reaches q · N(∞), N(∞) taken at register
     fixpoint.  Returns the scalar plus the raw neighborhood function for
-    auditability."""
+    auditability.
+
+    ``converged=False`` in the result means the loop hit ``max_diameter``
+    before the register fixpoint: nf[-1] is then a LOWER BOUND on N(∞)
+    and the effective diameter is biased low — raise ``max_diameter``."""
+    status = {"converged": False}
     ts, nf = [], []
-    for t, cur in _ball_rounds(graph, max_diameter, p, seed):
+    for t, cur in _ball_rounds(graph, max_diameter, p, seed, status):
         ts.append(t)
         nf.append(float(cur.sum()))
     target = q * nf[-1]
@@ -127,4 +141,5 @@ def effective_diameter(
         "q": q,
         "neighborhood_function": nf,
         "rounds": ts,
+        "converged": status["converged"],
     }

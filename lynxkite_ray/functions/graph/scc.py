@@ -95,7 +95,12 @@ def _directed_min_fixpoint(
     direction (reverse=False) or against it (reverse=True).  The initial
     label is v's own id unless ``vertices`` already carries an ``f`` column
     (seeded reachability — e.g. 0 on a seed set, so f(v)=0 iff v reaches a
-    seed).  Dataset-plane rounds of join + grouped min until unchanged."""
+    seed).  Dataset-plane rounds of join + grouped min until unchanged.
+
+    Returns ``(f, converged)``: ``converged`` is False when ``max_inner``
+    rounds ran out before the fixpoint — the vector is then TRUNCATED and
+    classifying from it mislabels vertices; callers must raise or keep
+    iterating, never classify (ADVICE r3, high)."""
     import pyarrow.compute as pc
 
     from ...stages.shuffle import COALESCE_BATCH, grouped_aggregate
@@ -107,6 +112,7 @@ def _directed_min_fixpoint(
         batch_format="pyarrow",
         batch_size=COALESCE_BATCH,
     ).materialize()
+    converged = False
     for _ in range(max_inner):
         msgs = edges.join(
             f,
@@ -143,8 +149,9 @@ def _directed_min_fixpoint(
         changed = nxt.sum("chg")
         f = nxt.select_columns(["id", "f"]).materialize()
         if not changed:
+            converged = True
             break
-    return f
+    return f, converged
 
 
 def strongly_connected_components(
@@ -206,14 +213,24 @@ def _scc_dataset(dedup: Dataset, max_rounds: int) -> Dataset:
     for _ in range(max_rounds):
         if cur_v.count() == 0:
             break
-        fwd = _directed_min_fixpoint(
+        fwd, f_ok = _directed_min_fixpoint(
             cur_edges, cur_v, reverse=False, num_partitions=num_partitions,
             max_inner=max_rounds,
         )
-        bwd = _directed_min_fixpoint(
+        bwd, b_ok = _directed_min_fixpoint(
             cur_edges, cur_v, reverse=True, num_partitions=num_partitions,
             max_inner=max_rounds,
-        ).map_batches(
+        )
+        if not (f_ok and b_ok):
+            # classifying from a truncated reach vector would retire
+            # vertices with WRONG labels (f==b can hold at a non-minimal
+            # label when the SCC's directed diameter exceeds max_rounds)
+            raise RuntimeError(
+                "strongly_connected_components: directed min-reach fixpoint "
+                f"did not converge within {max_rounds} inner rounds; raise "
+                "max_rounds (the remaining graph's directed diameter exceeds it)"
+            )
+        bwd = bwd.map_batches(
             lambda t: t.rename_columns(["id", "b"]),
             batch_format="pyarrow",
             batch_size=COALESCE_BATCH,

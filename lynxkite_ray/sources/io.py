@@ -187,23 +187,34 @@ def write_parquet_partitioned(ds: Dataset, root: str, key: str) -> int:
     (re-running a finished run is a no-op).
 
     Returns rows written THIS run (0 on a fully-resumed rerun)."""
+    from urllib.parse import unquote
+
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
+    # the Hive writer URL-encodes special characters (space, '/', '=') in
+    # directory names and spells null keys __HIVE_DEFAULT_PARTITION__ —
+    # decode before comparing against raw key values, or such partitions
+    # are rewritten on every rerun (ADVICE r3)
+    _NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
     os.makedirs(root, exist_ok=True)
-    done_vals = {
+    raw_done = {
         name.split("=", 1)[1]
         for name in os.listdir(root)
         if "=" in name and is_complete(os.path.join(root, name))
     }
-    if done_vals:
-        vals = pa.array(sorted(done_vals))
+    null_done = _NULL_DIR in raw_done
+    done_vals = {unquote(v) for v in raw_done if v != _NULL_DIR}
+    if done_vals or null_done:
+        vals = pa.array(sorted(done_vals), type=pa.string())
 
         def drop_done(t: pa.Table) -> pa.Table:
-            keep = pc.invert(
-                pc.is_in(pc.cast(t[key], pa.string()), value_set=vals)
+            sv = pc.cast(t[key], pa.string())
+            in_done = pc.fill_null(pc.is_in(sv, value_set=vals), False)
+            drop = (
+                pc.or_(in_done, pc.is_null(t[key])) if null_done else in_done
             )
-            return t.filter(keep)
+            return t.filter(pc.invert(drop))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 

@@ -216,3 +216,31 @@ def test_write_parquet_partitioned_resume(tmp_path):
 
     # fully-resumed rerun is a no-op
     assert write_parquet_partitioned(rd.from_arrow(t), root, "lang") == 0
+
+
+def test_write_parquet_partitioned_encoded_and_null_keys(tmp_path):
+    """Resume detection must survive Hive/URL-encoded key values (space,
+    slash, '=') and null keys (__HIVE_DEFAULT_PARTITION__) — a rerun of a
+    finished run is a no-op for those partitions too (ADVICE r3)."""
+    import os
+
+    from lynxkite_ray.sources.io import write_parquet_partitioned
+
+    t = pa.table(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "k": pa.array(
+                ["a b", "a b", "x/y", "x/y", "p=q", "p=q", None, None]
+            ),
+            "val": np.arange(8, dtype=np.float64),
+        }
+    )
+    root = str(tmp_path / "enc")
+    n = write_parquet_partitioned(rd.from_arrow(t), root, "k")
+    assert n == 8
+    dirs = sorted(p for p in os.listdir(root) if "=" in p)
+    assert len(dirs) == 4  # three encoded values + the null partition
+    assert any("__HIVE_DEFAULT_PARTITION__" in d for d in dirs)
+
+    # fully-resumed rerun is a no-op for EVERY partition
+    assert write_parquet_partitioned(rd.from_arrow(t), root, "k") == 0
