@@ -136,8 +136,17 @@ def pagerank_dataset(
     vertices=None,
     checkpoint_root: str | None = None,
     job: str = "pagerank_ds",
+    teleport_sources=None,
 ):
     """Arbitrary-scale Dataset-only PageRank: no dense vector anywhere.
+
+    ``teleport_sources`` (optional id array) switches to PERSONALIZED
+    PageRank: init rank = 1/|S| on the seed set (0 elsewhere, Σrank = 1)
+    and each iteration's lost mass re-enters at the seeds instead of
+    uniformly — the same per-round algebra as the dense
+    ``personalized_pagerank``, teleport applied via a broadcast seed-set
+    membership test inside ``map_batches`` (seeds are small by
+    assumption; no teleport column rides the joins).
 
     ranks and edges both live as Datasets; each iteration is
     ranks ⋈ edges (hash join on src) → map_batches(contrib) →
@@ -185,6 +194,23 @@ def pagerank_dataset(
         vertices = vertices_from_edges(edges)
     vertices = vertices.materialize()
     N = vertices.count()
+
+    seed_ref, tshare = None, 0.0
+    if teleport_sources is not None:
+        cand = pa.array(np.unique(np.asarray(teleport_sources, np.int64)))
+        present = vertices.map_batches(
+            lambda t, c=cand: t.filter(pc.is_in(t["id"], value_set=c)),
+            batch_format="pyarrow",
+        )
+        parts = [
+            b["id"].to_numpy()
+            for b in present.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        seeds = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        if len(seeds) == 0:
+            raise ValueError("pagerank_dataset: no teleport source id found in graph")
+        seed_ref = ray.put(seeds)
+        tshare = 1.0 / len(seeds)
     wdeg = weighted_out_degree(edges, weight_col)  # (src, wsum)
     # normalize once: (src, dst, w_norm)
     e = edges.join(wdeg, join_type="inner", num_partitions=num_partitions, on=("src",))
@@ -211,12 +237,23 @@ def pagerank_dataset(
     else:
         e_low, e_hub = e, None
 
-    ranks = vertices.map_batches(
-        lambda t: pa.table(
+    def _teleport_vec(t: pa.Table) -> pa.Array:
+        """Per-batch teleport weights: tshare on seeds, 0 elsewhere."""
+        sd = pa.array(ray.get(seed_ref))
+        return pc.multiply(
+            pc.cast(pc.is_in(t["id"], value_set=sd), pa.float64()),
+            pa.scalar(tshare),
+        )
+
+    if seed_ref is None:
+        init = lambda t: pa.table(  # noqa: E731
             {"id": t.column("id"), "rank": np.ones(t.num_rows, dtype=np.float64)}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+    else:
+        init = lambda t: pa.table(  # noqa: E731
+            {"id": t.column("id"), "rank": _teleport_vec(t)}
+        )
+    ranks = vertices.map_batches(init, batch_format="pyarrow").materialize()
 
     # per-iteration distributed checkpoint/resume (north-rule lineage) —
     # the (id, rank) Dataset writes its blocks straight to disk, so the
@@ -228,7 +265,12 @@ def pagerank_dataset(
             checkpoint_root,
             job,
             "pr-ds",
-            lineage_key("pr-ds", N, e.count(), damping, iterations, weight_col),
+            lineage_key(
+                "pr-ds", N, e.count(), damping, iterations, weight_col,
+                "uniform"
+                if seed_ref is None
+                else f"ppr:{len(seeds)}:{int(seeds.sum())}",
+            ),
         )
         latest = ckpt.latest()
         if latest is not None:
@@ -276,7 +318,33 @@ def pagerank_dataset(
             lambda t: t.rename_columns(["dst", "incoming"]), batch_format="pyarrow"
         )
         total_incoming = incoming.sum("incoming") or 0.0
-        uniform = (N - total_incoming) / N
+        if seed_ref is None:
+            uniform = (N - total_incoming) / N
+
+            def upd(t: pa.Table, u=uniform) -> pa.Table:
+                return pa.table(
+                    {
+                        "id": t.column("id"),
+                        "rank": pc.add(
+                            pc.fill_null(t.column("incoming"), 0.0), pa.scalar(u)
+                        ),
+                    }
+                )
+        else:
+            lost = 1.0 - total_incoming
+
+            def upd(t: pa.Table, lo=lost) -> pa.Table:
+                # lost mass re-enters at the seeds: rank = incoming + lost·t(v)
+                return pa.table(
+                    {
+                        "id": t.column("id"),
+                        "rank": pc.add(
+                            pc.fill_null(t.column("incoming"), 0.0),
+                            pc.multiply(_teleport_vec(t), pa.scalar(lo)),
+                        ),
+                    }
+                )
+
         ranks = (
             vertices.join(
                 incoming.map_batches(
@@ -287,17 +355,7 @@ def pagerank_dataset(
                 num_partitions=num_partitions,
                 on=("id",),
             )
-            .map_batches(
-                lambda t, u=uniform: pa.table(
-                    {
-                        "id": t.column("id"),
-                        "rank": pc.add(
-                            pc.fill_null(t.column("incoming"), 0.0), pa.scalar(u)
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            .map_batches(upd, batch_format="pyarrow")
             .materialize()
         )
         if ckpt is not None:
@@ -318,14 +376,20 @@ def personalized_pagerank(
     sensitive PR, Haveliwala 2002 — the standard crawl-corpus relevance
     propagation).  Mass accounting mirrors pagerank(): whatever damped
     mass is lost to dangling vertices re-enters at the seeds, so Σrank = 1
-    every iteration.  Dense-path only: the rank vector is driver-resident
-    like pagerank()'s; the DatasetGraph regime would need the teleport
-    column threaded through pagerank_dataset (NotImplementedError names
-    the mapping)."""
+    every iteration.
+
+    Dense regime returns the rank vector aligned with ``graph.vids``; the
+    DatasetGraph regime runs the same per-round algebra on the Dataset
+    plane (``pagerank_dataset(teleport_sources=...)``) and returns the
+    (id, rank) Dataset — nothing O(V) touches the driver."""
     if not graph.is_dense:
-        raise NotImplementedError(
-            "personalized_pagerank: DatasetGraph regime — thread a teleport "
-            "column through pagerank_dataset (same per-round algebra)"
+        return pagerank_dataset(
+            graph.edges,
+            damping=damping,
+            iterations=iterations,
+            weight_col=graph.weight_col,
+            vertices=graph.vertices,
+            teleport_sources=sources,
         )
     V = graph.num_vertices
     src_idx = np.searchsorted(graph.vids, np.asarray(sources, dtype=np.int64))

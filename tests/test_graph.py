@@ -819,3 +819,44 @@ def test_pagerank_tol_early_stop_matches_long_run(tmp_path):
     m = ck.manifest(last)
     assert m["metrics"]["converged"] is True
     assert m["metrics"]["residual"] < 1e-6
+
+
+def test_personalized_pagerank_dataset_matches_dense():
+    """PPR parity across regimes: the Dataset plane (teleport_sources)
+    reproduces the dense vector exactly (VERDICT r3 next-round #5)."""
+    from lynxkite_ray.functions.graph.pagerank import personalized_pagerank
+
+    edges, vertices = random_graph(150, 3, 23)
+    ds = edges_ds(edges)
+    g = Graph.from_edges(ds, extra_vertices=np.arange(150))
+    seeds = np.array([1, 5, 9], dtype=np.int64)
+    dense = personalized_pagerank(g, seeds, damping=0.85, iterations=8)
+    dist = pagerank_dataset(
+        ds, damping=0.85, iterations=8, num_partitions=4,
+        vertices=rd.from_arrow(pa.table({"id": np.arange(150, dtype=np.int64)})),
+        teleport_sources=seeds,
+    )
+    got = {r["id"]: r["rank"] for r in dist.take_all()}
+    np.testing.assert_allclose(dense, [got[v] for v in g.vids], atol=1e-9)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # Σrank = 1
+
+
+def test_personalized_pagerank_dataset_regime_returns_dataset():
+    """DatasetGraph dispatch: same algebra, (id, rank) Dataset out."""
+    import ray.data as rdm
+
+    from lynxkite_ray.functions.graph.core import DatasetGraph
+    from lynxkite_ray.functions.graph.pagerank import personalized_pagerank
+
+    edges, vertices = random_graph(100, 3, 31)
+    ds = edges_ds(edges).materialize()
+    vds = rdm.from_arrow(
+        pa.table({"id": np.arange(100, dtype=np.int64)})
+    ).materialize()
+    dg = DatasetGraph(ds, vds, None, ds.count(), "test-ppr")
+    g = Graph.from_edges(ds, extra_vertices=np.arange(100))
+    seeds = np.array([2, 3], dtype=np.int64)
+    dense = personalized_pagerank(g, seeds, damping=0.85, iterations=6)
+    out = personalized_pagerank(dg, seeds, damping=0.85, iterations=6)
+    got = {r["id"]: r["rank"] for r in out.take_all()}
+    np.testing.assert_allclose(dense, [got[v] for v in g.vids], atol=1e-9)
