@@ -433,3 +433,87 @@ def test_ngram_contamination_planted():
     assert rows[1]["n_grams"] == 4 and rows[1]["n_contaminated"] == 1
     assert rows[2]["n_grams"] == 2 and rows[2]["n_contaminated"] == 0
     assert abs(rows[1]["contaminated_frac"] - 0.25) < 1e-9
+
+
+def _png(w, h):
+    import struct, zlib
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg(w, h):
+    import struct
+    # SOI, APP0 stub, SOF0 with dims, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _bmp(w, h):
+    import struct
+    return (
+        b"BM" + b"\x00" * 12
+        + struct.pack("<I", 40) + struct.pack("<Ii", w, -h) + b"\x00" * 16
+    )
+
+
+def _wav(seconds, byte_rate=16000):
+    import struct
+    data = b"\x00" * (seconds * byte_rate)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_header_decoder_true_dimensions():
+    """HeaderDecoder returns TRUE dimensions/durations from container
+    headers (VERDICT r3 next-round #6); unparseable payloads fall back to
+    the deterministic stub."""
+    from lynxkite_ray.functions.multimodal import HeaderDecoder
+
+    d = HeaderDecoder()
+    assert d.decode("image", _png(640, 480)) == {
+        "width": 640, "height": 480, "duration_ms": 0}
+    assert d.decode("image", _jpeg(123, 77)) == {
+        "width": 123, "height": 77, "duration_ms": 0}
+    assert d.decode("image", _gif(32, 16)) == {
+        "width": 32, "height": 16, "duration_ms": 0}
+    assert d.decode("image", _bmp(800, 600)) == {
+        "width": 800, "height": 600, "duration_ms": 0}
+    assert d.decode("audio", _wav(3)) == {
+        "width": 0, "height": 0, "duration_ms": 3000}
+    # non-container payload: deterministic fallback, stable across calls
+    f1 = d.decode("image", b"not an image")
+    assert f1 == d.decode("image", b"not an image") and f1["width"] >= 64
+
+
+def test_media_features_true_dims_end_to_end():
+    """The actor-pool stage reports true PNG dims through the Dataset."""
+    from lynxkite_ray.functions.multimodal import extract_media_features
+
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "kind": pa.array(["image", "audio"], pa.string()),
+                "payload": pa.array([_png(320, 200), _wav(2)], pa.binary()),
+            }
+        )
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(media, concurrency=1).take_all()}
+    assert rows[1]["width"] == 320 and rows[1]["height"] == 200
+    assert rows[2]["duration_ms"] == 2000
