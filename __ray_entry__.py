@@ -685,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "core_numbers", "strongly_connected_components", "bowtie",
         "personalized_pagerank", "effective_diameter", "hits_scores",
         "pagerank_converged",
+        # new in round 4
+        "set_overlap_for_cc",
         # implementation changed in round 4: re-verify
         "join_orders_customers", "hash_join_supplier_nation", "triangle_count",
         "triangles_per_vertex", "media_features", "minhash_dedup",
@@ -722,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_vertices_full": SG.q_merge_vertices_full,
         "segment_by_event_sequence": SG.q_segment_by_event_sequence,
         "set_overlap": SG.q_set_overlap,
+        "set_overlap_for_cc": SG.q_set_overlap_for_cc,
         "check_cliques": SG.q_check_cliques,
         "precedence_edges": ST.q_precedence_edges,
         "precedence_multiplicity": ST.q_precedence_multiplicity,
@@ -894,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_vertices_full": SG.MERGE_FULL_SQL,
         "segment_by_event_sequence": SG.SEGMENT_EVENTS_SQL,
         "set_overlap": SG.SET_OVERLAP_SQL,
+        "set_overlap_for_cc": SG.SET_OVERLAP_CC_SQL,
         "check_cliques": SG.CHECK_CLIQUE_SQL,
         "precedence_edges": ST.PRECEDENCE_SQL,
         "precedence_multiplicity": ST.PREC_MULT_SQL,

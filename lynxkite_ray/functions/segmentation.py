@@ -360,6 +360,146 @@ def set_overlap(
     )
 
 
+def set_overlap_for_cc(
+    belongs: Dataset,
+    min_overlap: int = 2,
+    seg_col: str = "segment",
+    member_col: str = "member",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """SetOverlapForCC.scala:28-137 (UniformOverlapForCC variant,
+    SetOverlapForCC.scala:141-145): edges between segments with
+    |A ∩ B| ≥ min_overlap, emitting only a CC-PRESERVING SUBSET of the
+    justified edges — connected components over the output equal CC over
+    the full set_overlap graph, at much less edge output (the guarantee
+    the reference's infocom community search relies on).
+
+    Distributed shape mirrors the reference's two groupBys: members per
+    segment (one key shuffle), segment lists per member carrying the full
+    member arrays (the reference's byMember flatMap — payload is
+    Σ|seg|² like the original), then a per-member kernel.  Per member v,
+    a pair is emitted only when min(A∩B) == v (each justified pair
+    charges exactly one member — the cross-member dedup of
+    SetOverlapForCC.scala:117-121) and a BFS over the member's segment
+    list skips edges inside an already-connected group
+    (SetOverlapForCC.scala:96-133).  Output is symmetric (both
+    directions), matching the reference's addEdges."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    m = belongs.select_columns([seg_col, member_col]).map_batches(
+        lambda t: t.rename_columns(["seg", "mem"]), **mb
+    )
+    m = distinct(m, ["seg", "mem"], num_partitions)
+
+    # (seg, sorted member list) — seg block-complete after the shuffle
+    def seg_lists(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "seg": pa.array([], pa.int64()),
+                    "members": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        seg = t.column("seg").to_numpy(zero_copy_only=False)
+        mem = t.column("mem").to_numpy(zero_copy_only=False)
+        order = np.lexsort((mem, seg))
+        seg, mem = seg[order], mem[order]
+        bound = np.empty(len(seg), dtype=bool)
+        bound[0] = True
+        bound[1:] = seg[1:] != seg[:-1]
+        starts = np.flatnonzero(bound)
+        offsets = np.append(starts, len(seg)).astype(np.int32)
+        return pa.table(
+            {
+                "seg": seg[starts],
+                "members": pa.ListArray.from_arrays(pa.array(offsets), pa.array(mem)),
+            }
+        )
+
+    segs = hash_partition(m, ["seg"], num_partitions).map_batches(
+        seg_lists, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
+    )
+
+    # byMember: one (mem, seg, members) row per member of each segment
+    def by_member(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "mem": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.int64()),
+                    "members": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        lst = t.column("members").combine_chunks()
+        counts = np.diff(lst.offsets.to_numpy())
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        return pa.table(
+            {
+                "mem": lst.values,
+                "seg": t.column("seg").take(pa.array(idx)),
+                "members": lst.take(pa.array(idx)),
+            }
+        )
+
+    bym = segs.map_batches(
+        by_member, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
+    )
+
+    def member_kernel(t: pa.Table) -> pa.Table:
+        out_src: list[int] = []
+        out_dst: list[int] = []
+        if t.num_rows:
+            mem = t.column("mem").to_numpy(zero_copy_only=False)
+            seg = t.column("seg").to_numpy(zero_copy_only=False)
+            members = t.column("members").to_pylist()
+            order = np.argsort(mem, kind="stable")
+            starts = np.flatnonzero(
+                np.concatenate(([True], mem[order][1:] != mem[order][:-1]))
+            )
+            bounds = np.append(starts, len(order))
+            for gi in range(len(starts)):
+                rows = order[bounds[gi] : bounds[gi + 1]]
+                if len(rows) < 2:
+                    continue
+                vid = int(mem[rows[0]])
+                sets = [(int(seg[r]), np.asarray(members[r], np.int64)) for r in rows]
+                # reference edgesFor: BFS over the member's segments,
+                # emitting a pair only at its minimal common element
+                idxa = list(range(len(sets)))
+                while idxa:
+                    todo = [idxa.pop(0)]
+                    while todo:
+                        current = todo.pop(0)
+                        rest = []
+                        for other in idxa:
+                            a = sets[current][1]
+                            b = sets[other][1]
+                            inter = np.intersect1d(a, b, assume_unique=True)
+                            if len(inter) >= min_overlap:
+                                todo.append(other)
+                                if int(inter[0]) >= vid:
+                                    out_src += [sets[current][0], sets[other][0]]
+                                    out_dst += [sets[other][0], sets[current][0]]
+                            else:
+                                rest.append(other)
+                        idxa = rest
+        return pa.table(
+            {
+                "src": pa.array(out_src, pa.int64()),
+                "dst": pa.array(out_dst, pa.int64()),
+            }
+        )
+
+    edges = hash_partition(bym, ["mem"], num_partitions).map_batches(
+        member_kernel, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
+    )
+    return distinct(edges, ["src", "dst"], num_partitions)
+
+
 def check_cliques(
     belongs: Dataset,
     edges: Dataset,

@@ -140,6 +140,46 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_set_overlap_for_cc(sf_dir: str):
+    """SetOverlapForCC.scala:28-145 — CC-preserving sparse overlap edges
+    between orders sharing ≥2 parts.  The emitted edge SUBSET is
+    implementation-defined (only its components are guaranteed), so the
+    query returns the component labels — deterministic and equal to CC
+    over the FULL overlap graph, which the SQL oracle computes directly."""
+    import pyarrow as pa
+
+    from ..functions.graph import Graph, connected_components
+    from ..functions.segmentation import set_overlap_for_cc
+
+    edges = set_overlap_for_cc(_order_members(sf_dir), min_overlap=2)
+    g = Graph.from_edges(edges.materialize())
+    labels = connected_components(g)
+    return pa.table({"id": g.vids, "component": labels})
+
+
+SET_OVERLAP_CC_SQL = """
+WITH RECURSIVE mem AS (
+  SELECT DISTINCT l_orderkey AS seg, l_partkey AS v FROM lineitem
+),
+ov AS (
+  SELECT a.seg AS src, b.seg AS dst
+  FROM mem a JOIN mem b ON a.v = b.v AND a.seg < b.seg
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sym AS (SELECT src, dst FROM ov UNION SELECT dst AS src, src AS dst FROM ov),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.label
+  FROM reach r JOIN sym e ON e.src = r.id
+  WHERE r.label < e.dst
+)
+SELECT id, MIN(label) AS component FROM reach GROUP BY id
+"""
+
+
 def q_check_cliques(sf_dir: str):
     """CheckClique.scala:28 — are each order's parts a clique in the
     directed precedence graph (either-direction connectivity)?"""

@@ -860,3 +860,47 @@ def test_personalized_pagerank_dataset_regime_returns_dataset():
     out = personalized_pagerank(dg, seeds, damping=0.85, iterations=6)
     got = {r["id"]: r["rank"] for r in out.take_all()}
     np.testing.assert_allclose(dense, [got[v] for v in g.vids], atol=1e-9)
+
+
+def test_set_overlap_for_cc_preserves_components():
+    """SetOverlapForCC contract (SetOverlapForCC.scala:2-6): the emitted
+    edge subset yields the SAME connected components over segments as the
+    full ≥min_overlap overlap graph, for random memberships."""
+    from lynxkite_ray.functions.segmentation import set_overlap, set_overlap_for_cc
+
+    from .oracles import components_oracle
+
+    rng = np.random.default_rng(41)
+    for trial in range(3):
+        n_seg, n_mem = 40, 60
+        rows = {
+            (int(s), int(m))
+            for s, m in zip(
+                rng.integers(0, n_seg, 400), rng.integers(0, n_mem, 400)
+            )
+        }
+        belongs = rd.from_arrow(
+            pa.table(
+                {
+                    "segment": np.array([r[0] for r in rows], np.int64),
+                    "member": np.array([r[1] for r in rows], np.int64),
+                }
+            )
+        )
+        min_overlap = 2 + trial
+        full = set_overlap(belongs, min_overlap=min_overlap).take_all()
+        sub = set_overlap_for_cc(belongs, min_overlap=min_overlap).take_all()
+        full_edges = [(r["src"], r["dst"]) for r in full]
+        sub_edges = [(r["src"], r["dst"]) for r in sub]
+        # every emitted edge must be justified
+        justified = {(a, b) for a, b in full_edges} | {
+            (b, a) for a, b in full_edges
+        }
+        assert set(sub_edges) <= justified
+        segs = set(range(n_seg))
+        cc_full = components_oracle(full_edges, segs)
+        cc_sub = components_oracle(sub_edges, segs)
+        # identical partitions (labels may differ only if min-id convention
+        # differs; components_oracle uses min-id for both)
+        assert cc_full == cc_sub
+        rng = np.random.default_rng(100 + trial)
