@@ -138,6 +138,14 @@ def bowtie(edges: Dataset, max_rounds: int = 50) -> Dataset:
 def _bowtie_local(dedup: Dataset, scc: Dataset, core_label: int) -> Dataset:
     from ..graph.triangles import _gather_canonical
 
+    # caller gates on SCC_LOCAL_EDGES; assert here too since this helper
+    # collects both the edge list and the scc labels to the driver
+    n_edges = dedup.count()
+    if n_edges > SCC_LOCAL_EDGES:
+        raise ValueError(
+            f"_bowtie_local: {n_edges} edges exceed SCC_LOCAL_EDGES "
+            f"({SCC_LOCAL_EDGES}); use the Dataset path"
+        )
     s, d = _gather_canonical(dedup)
     comp = {r["id"]: r["scc"] for r in scc.take_all()}
     vids = np.array(sorted(comp), dtype=np.int64)

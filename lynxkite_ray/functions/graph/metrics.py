@@ -22,8 +22,14 @@ import ray
 
 from ray.data import Dataset
 
+from ...context import LOCAL_EDGE_THRESHOLD
 from ...util import round_away
-from ..graph.triangles import _count_bundle, _prepare, _triangles_distributed
+from ..graph.triangles import (
+    _count_bundle,
+    _gather_canonical,
+    _prepare,
+    _triangles_distributed,
+)
 
 
 def _clustering_distributed(canon: Dataset, num_partitions: int | None = None) -> Dataset:

@@ -1210,3 +1210,59 @@ def q_pagerank_converged(sf_dir: str):
     g = copurchase_graph(sf_dir, symmetric=True)
     ranks = pagerank(g, damping=0.85, iterations=100, tol=1e-6)
     return rd.from_arrow(pa.table({"id": g.vids, "rank": round_away(ranks, 9)}))
+
+
+# --------------------------------------------------------------- geo lookup
+
+
+def q_lookup_region(sf_dir: str):
+    """LookupRegion.scala:46-90 — first-containing-region attribute lookup
+    over synthetic (lat, lon) points derived from customer keys; a diamond
+    region is checked before the quadrant rectangles so the first-match
+    rule is exercised.  Unmatched points are dropped (none here: lat/lon
+    are x.5 offsets so no point sits on a region boundary)."""
+    import numpy as np
+
+    from ..functions.geo import lookup_region
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "id": k,
+                "lat": ((k * 37) % 181) - 89.5,
+                "lon": ((k * 91) % 361) - 179.5,
+            }
+        )
+
+    pts = cust.map_batches(coords, batch_format="pyarrow")
+    d = 30.25
+    regions = [
+        ("diamond", np.array([(d, 0.0), (0.0, d), (-d, 0.0), (0.0, -d)])),
+        ("ne", np.array([(0.25, 0.25), (200.0, 0.25), (200.0, 100.0), (0.25, 100.0)])),
+        ("nw", np.array([(-200.0, 0.25), (-0.25, 0.25), (-0.25, 100.0), (-200.0, 100.0)])),
+        ("se", np.array([(0.25, -100.0), (200.0, -100.0), (200.0, -0.25), (0.25, -0.25)])),
+        ("sw", np.array([(-200.0, -100.0), (-0.25, -100.0), (-0.25, -0.25), (-200.0, -0.25)])),
+    ]
+    return lookup_region(pts, regions, out="region")
+
+
+LOOKUP_REGION_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * 37) % 181) - 89.5 AS lat,
+         ((c_custkey * 91) % 361) - 179.5 AS lon
+  FROM customer
+)
+SELECT id, lat, lon,
+  CASE
+    WHEN ABS(lat) + ABS(lon) < 30.25 THEN 'diamond'
+    WHEN lon > 0.25 AND lat > 0.25 THEN 'ne'
+    WHEN lon < -0.25 AND lat > 0.25 THEN 'nw'
+    WHEN lon > 0.25 AND lat < -0.25 THEN 'se'
+    ELSE 'sw'
+  END AS region
+FROM pts
+"""
