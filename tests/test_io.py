@@ -58,7 +58,7 @@ def test_csv_json_roundtrip(tmp_path):
     assert read_table(cdir, "csv").count() == 20
     assert read_table(jdir, "json").count() == 20
     with pytest.raises(NotImplementedError):
-        read_table("/tmp/x", "avro")
+        read_table("/tmp/x", "jdbc")
 
 
 def test_make_symmetric_min_matched_pairs():
