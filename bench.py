@@ -300,10 +300,20 @@ def run_scaling() -> dict:
     # bottlenecks.  Measured stage ratios on this box: 2→8 ≈ 3.9x,
     # 4→16 ≈ 3.4x, 8→32 ≈ 2.8x.
     lo, hi = 2, 8
-    # best-of-2 at the high width: single-run variance is ~±10%, enough to
-    # swing the ratio; the minimum is the steady-state capability
-    r_lo = run(lo)
-    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
+    # best-of-2 at BOTH widths: this VM's effective CPU budget swings
+    # 1.3-1.4x between runs minutes apart (measured 62.7s vs 86.1s for the
+    # identical 2-CPU job; BASELINE.md §3 variance disclosure), so the min
+    # estimator must be applied symmetrically — min at one width against a
+    # single draw at the other biases the ratio by the full swing.
+    # interleave widths (hi, lo, hi, lo, ...) so host-window drift — the
+    # slow phases last minutes — samples both widths instead of landing
+    # entirely on whichever width happens to run second
+    lo_runs, hi_runs = [], []
+    for _ in range(2):
+        hi_runs.append(run(hi))
+        lo_runs.append(run(lo))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     pr_lo = r_lo["queries"]["pr_edges_per_sec"]
@@ -320,6 +330,8 @@ def run_scaling() -> dict:
         "pages_pr_edges_per_sec_hi": pr_hi,
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
+        "all_runs_sec_lo": [r["value"] for r in lo_runs],
+        "all_runs_sec_hi": [r["value"] for r in hi_runs],
         "sf": r_hi["sf"],
     }
 
