@@ -686,7 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank", "effective_diameter", "hits_scores",
         "pagerank_converged",
         # new in round 4
-        "set_overlap_for_cc", "lookup_region",
+        "set_overlap_for_cc", "lookup_region", "chunk_tokens",
         # implementation changed in round 4: re-verify
         "join_orders_customers", "hash_join_supplier_nation", "triangle_count",
         "triangles_per_vertex", "media_features", "minhash_dedup",
@@ -748,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_intersection": ST.q_key_intersection,
         "adjacency_lists": ST.q_adjacency_lists,
         "lookup_region": ST.q_lookup_region,
+        "chunk_tokens": TX.q_chunk_tokens,
         # --- new this round, SQL-oracled (hash-checkable rows first: the
         # driver samples ~50, so oracle-bearing entries must not spill) ---
         "string_bucketing": ST.q_string_bucketing,
@@ -920,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "key_intersection": ST.INTERSECTION_SQL,
         "adjacency_lists": ST.ADJACENCY_SQL,
         "lookup_region": ST.LOOKUP_REGION_SQL,
+        "chunk_tokens": TX.CHUNK_TOKENS_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -2,8 +2,9 @@
 decoded / feature-extracted by actor-pool stages.
 
 ``HeaderDecoder`` (the default) does REAL decode for everything the
-container header carries: PNG/JPEG/GIF/BMP dimensions and WAV duration,
-parsed with zero dependencies.  Full pixel/sample decode (PIL / ffmpeg /
+container header carries: PNG/JPEG/GIF/BMP dimensions and WAV/FLAC/MP3
+duration (Xing VBR frame count or CBR estimate), parsed with zero
+dependencies.  Full pixel/sample decode (PIL / ffmpeg /
 soundfile) is NOT in this container, so unrecognized payloads fall back
 to the clearly-marked ``FakeDecoder`` stub — the Ray-side plumbing
 (schema, small batch sizes for wide binary rows, actor signature, output
@@ -109,12 +110,75 @@ def parse_wav_duration_ms(p: bytes) -> int | None:
     return None
 
 
+def parse_flac_duration_ms(p: bytes) -> int | None:
+    """Duration from the FLAC STREAMINFO block (always the first metadata
+    block after the ``fLaC`` magic): 20-bit sample rate + 36-bit total
+    sample count packed in bytes 10-17 of the block body."""
+    if len(p) < 4 + 4 + 18 or p[:4] != b"fLaC":
+        return None
+    if p[4] & 0x7F != 0:  # first block must be STREAMINFO (type 0)
+        return None
+    si = p[8:]  # block body
+    u64 = int.from_bytes(si[10:18], "big")
+    sample_rate = u64 >> 44
+    total_samples = u64 & ((1 << 36) - 1)
+    if not sample_rate or not total_samples:
+        return None
+    return int(round(total_samples / sample_rate * 1000))
+
+
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_duration_ms(p: bytes) -> int | None:
+    """Duration of an MPEG Layer III stream, header walk only: skip an
+    ID3v2 tag, sync to the first frame header, then prefer the Xing/Info
+    VBR frame count; fall back to a CBR estimate from the first frame's
+    bitrate.  Returns None when no valid Layer III sync is found."""
+    i = 0
+    if p[:3] == b"ID3" and len(p) > 10:
+        size = 0
+        for b in p[6:10]:  # syncsafe 28-bit size
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    end = min(len(p) - 4, i + 4096)  # sync must appear near the start
+    while i <= end:
+        if p[i] == 0xFF and (p[i + 1] & 0xE0) == 0xE0:
+            hdr = int.from_bytes(p[i : i + 4], "big")
+            version = (hdr >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (hdr >> 17) & 3  # 1 = Layer III
+            br_idx = (hdr >> 12) & 0xF
+            sr_idx = (hdr >> 10) & 3
+            if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+                i += 1
+                continue
+            sample_rate = _MP3_RATES[version][sr_idx]
+            mpeg1 = version == 3
+            bitrate = (_MP3_BITRATE_V1L3 if mpeg1 else _MP3_BITRATE_V2L3)[br_idx] * 1000
+            spf = 1152 if mpeg1 else 576
+            # Xing/Info header (VBR): frame count is authoritative
+            mono = ((hdr >> 6) & 3) == 3
+            # side-info bytes before the tag: MPEG1 32/17, MPEG2 17/9 (stereo/mono)
+            xing_off = i + 4 + ((17 if mono else 32) if mpeg1 else (9 if mono else 17))
+            tag = p[xing_off : xing_off + 4]
+            if tag in (b"Xing", b"Info") and len(p) >= xing_off + 12:
+                flags = int.from_bytes(p[xing_off + 4 : xing_off + 8], "big")
+                if flags & 1:  # frames field present
+                    frames = int.from_bytes(p[xing_off + 8 : xing_off + 12], "big")
+                    return int(round(frames * spf / sample_rate * 1000))
+            return int(round((len(p) - i) * 8 / bitrate * 1000))
+        i += 1
+    return None
+
+
 class HeaderDecoder:
     """Real decode for the formats whose metadata lives in the container
-    header (no codec needed): PNG / JPEG / GIF / BMP dimensions, WAV
-    duration.  Payloads that aren't a recognized container fall back to
-    the deterministic FakeDecoder (video and compressed audio stay
-    stubbed — their codecs aren't in this container)."""
+    header (no codec needed): PNG / JPEG / GIF / BMP dimensions; WAV /
+    FLAC / MP3 duration.  Payloads that aren't a recognized container
+    fall back to the deterministic FakeDecoder (video stays stubbed —
+    its codecs aren't in this container)."""
 
     def __init__(self):
         self._fallback = FakeDecoder()
@@ -125,9 +189,14 @@ class HeaderDecoder:
             if dims is not None:
                 return {"width": dims[0], "height": dims[1], "duration_ms": 0}
         elif kind == "audio":
-            dur = parse_wav_duration_ms(payload)
-            if dur is not None:
-                return {"width": 0, "height": 0, "duration_ms": dur}
+            for parser in (
+                parse_wav_duration_ms,
+                parse_flac_duration_ms,
+                parse_mp3_duration_ms,
+            ):
+                dur = parser(payload)
+                if dur is not None:
+                    return {"width": 0, "height": 0, "duration_ms": dur}
         return self._fallback.decode(kind, payload)
 
 

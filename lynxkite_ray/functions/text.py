@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ..util import round_away
@@ -627,3 +628,72 @@ def c4_filter(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Dataset
         return pa.table({id_col: pa.array(np.asarray(out, dtype=np.int64))})
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_tokens(
+    ds: Dataset,
+    size: int = 512,
+    overlap: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Token-window document chunking — the canonical training-data prep
+    op (split each document into windows of ``size`` whitespace tokens
+    with ``overlap`` tokens shared between consecutive windows).  No
+    reference analog (the reference has no LLM-corpus surface); semantics
+    follow the standard sliding-window rule: window starts at 0, step =
+    size - overlap, last window starts at the smallest multiple of step
+    covering the tail; an empty document yields one empty chunk.
+
+    Fully vectorized per batch: one RE2 split to an Arrow ListArray, all
+    window offsets computed in numpy from the list offsets, one ``take``
+    to gather tokens and one ``binary_join`` to rebuild chunk text — no
+    per-row Python.  Output: (id_col, chunk_idx, n_tokens, chunk_text);
+    rows ≈ input × (mean_tokens / step), so the stage fans out and the
+    streaming executor re-blocks downstream.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    step = size - overlap
+
+    def body(t: pa.Table) -> pa.Table:
+        # trim the exact char set the SQL oracle trims (ASCII whitespace)
+        txt = pc.utf8_trim(
+            pc.cast(t.column(col), pa.string()), " \t\n\r\x0b\x0c"
+        )
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = toks.values
+        n = np.diff(offsets)
+        empty = pc.equal(txt, "").to_numpy(zero_copy_only=False)
+        n = np.where(empty, 0, n)  # '' splits to [''] — count it as 0 tokens
+        nchunks = 1 + np.ceil(np.maximum(n - size, 0) / step).astype(np.int64)
+        total = int(nchunks.sum())
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), nchunks)
+        first = np.cumsum(nchunks) - nchunks
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(first, nchunks)
+        starts = chunk_idx * step
+        lens = np.minimum(size, n[doc_idx] - starts)
+        tot_toks = int(lens.sum())
+        base = np.repeat(offsets[:-1][doc_idx] + starts, lens)
+        within = np.arange(tot_toks, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        gathered = values.take(pa.array(base + within, pa.int64()))
+        new_off = np.empty(total + 1, dtype=np.int32)
+        new_off[0] = 0
+        np.cumsum(lens, out=new_off[1:])
+        chunk_lists = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), gathered)
+        chunk_text = pc.binary_join(chunk_lists, " ")
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(doc_idx, pa.int64())),
+                "chunk_idx": chunk_idx,
+                "n_tokens": lens,
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)

@@ -428,3 +428,34 @@ WHERE len(toks) >= 10
   AND len(list_filter(ltoks, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
       / len(toks) > 0.01
 """
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Token-window chunking (size=64, overlap=16) over documents —
+    (doc_id, chunk_idx, n_tokens, chunk_text), hash-checked against the
+    list-slicing SQL oracle."""
+    return T.chunk_tokens(_docs(sf_dir), size=64, overlap=16)
+
+
+CHUNK_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                     '\s+') END AS w
+  FROM documents
+), stats AS (
+  SELECT doc_id, w, len(w) AS n,
+         1 + CAST(CEIL(GREATEST(len(w) - 64, 0) / 48.0) AS BIGINT) AS nchunks
+  FROM toks
+), expanded AS (
+  SELECT doc_id, w, n, unnest(range(0, nchunks)) AS chunk_idx
+  FROM stats
+)
+SELECT doc_id, chunk_idx,
+       LEAST(64, n - chunk_idx * 48) AS n_tokens,
+       array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+FROM expanded
+"""

@@ -5,10 +5,12 @@ The reference's import surface (ImportOperations.scala:36-455: CSV,
 Parquet, ORC, JSON, AVRO, Delta, JDBC, …) maps to ray.data readers plus
 engine-native adapters: ORC via pyarrow.orc, AVRO via polars' reader,
 Delta via a _delta_log replay + read_parquet, the JDBC/warehouse slot via
-read_sql/write_sql (DuckDB in this container).  Only formats whose
-engines are genuinely absent (JVM JDBC drivers, Hive/BigQuery/Neo4j
-services) raise NotImplementedError with the mapping named, so the
-surface is explicit rather than silently missing.
+read_sql/write_sql (DuckDB in this container), static Hive tables via
+read_hive_table (partition-pruned directory scan), Neo4j via the bulk
+neo4j-admin CSV layout (sources/neo4j.py).  Only paths that genuinely
+need an absent engine (JVM JDBC drivers, a live Hive metastore /
+BigQuery / Neo4j service) raise NotImplementedError with the mapping
+named, so the surface is explicit rather than silently missing.
 """
 
 from __future__ import annotations
@@ -189,6 +191,7 @@ def read_table(path: str, fmt: str = "parquet", **kwargs) -> Dataset:
         "orc": read_orc,
         "avro": read_avro,
         "delta": read_delta,
+        "hive": read_hive_table,
     }
     if fmt == "jdbc":
         raise NotImplementedError(
@@ -341,3 +344,41 @@ def write_parquet_partitioned(ds: Dataset, root: str, key: str) -> int:
                 f.write("")
         shutil.rmtree(tmp, ignore_errors=True)
     return written
+
+
+def read_hive_table(root: str, where=None, columns=None, **kwargs) -> Dataset:
+    """Static Hive-table import (the serverless half of the reference's
+    Hive slot, ImportOperations.scala Hive import): read a Hive-layout
+    directory tree (``<root>/<key>=<value>/...``, e.g. one produced by
+    ``write_parquet_partitioned``) with PARTITION-LEVEL PRUNING.
+
+    ``where`` is a predicate over the decoded partition key/value dict
+    (values URL-unquoted, ``__HIVE_DEFAULT_PARTITION__`` decoded to
+    ``None``); partitions it rejects are pruned at the file LISTING, so a
+    filter touching 1 of 10,000 date partitions lists and reads 1/10,000
+    of the data — the same metadata-level pruning a Hive metastore
+    provides.  Partition columns are attached to the returned rows.
+    A live metastore service (thrift) is out of scope in this container;
+    point ``root`` at the warehouse directory instead."""
+    from urllib.parse import unquote
+
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    _NULL = "__HIVE_DEFAULT_PARTITION__"
+    if where is not None:
+
+        def _filter(d: dict) -> bool:
+            if not d:
+                return True  # unpartitioned files at the root
+            dec = {
+                k: (None if v == _NULL else unquote(v)) for k, v in d.items()
+            }
+            return bool(where(dec))
+
+        kwargs["partition_filter"] = PathPartitionFilter.of(
+            _filter, style="hive"
+        )
+    # skip _SUCCESS markers and other non-parquet files in partition dirs
+    kwargs.setdefault("file_extensions", ["parquet"])
+    ds = rd.read_parquet(root, columns=columns, **kwargs)
+    return ds

@@ -312,3 +312,36 @@ def test_delta_log_replay_and_time_travel(tmp_path):
     assert v0 == [1, 2, 3, 4, 5]
     pruned = read_delta(str(root), columns=["x"]).take(1)[0]
     assert set(pruned) == {"x"}
+
+
+def test_read_hive_table_pruning_and_partition_column(tmp_path):
+    from lynxkite_ray.sources.io import read_hive_table, write_parquet_partitioned
+
+    root = str(tmp_path / "hive")
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", None, "x y"], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    write_parquet_partitioned(rd.from_arrow(t), root, "k")
+
+    # full read attaches the partition column
+    full = read_hive_table(root).to_pandas()
+    assert sorted(full["v"]) == [1, 2, 3, 4]
+    assert set(full.columns) == {"k", "v"}
+
+    # partition-level pruning: only k=a read
+    got = read_hive_table(root, where=lambda d: d.get("k") == "a").to_pandas()
+    assert list(got["v"]) == [1]
+
+    # decoded values: the space-containing key round-trips
+    got = read_hive_table(root, where=lambda d: d.get("k") == "x y").to_pandas()
+    assert list(got["v"]) == [4]
+
+    # null partition decoded to None
+    got = read_hive_table(root, where=lambda d: d.get("k") is None).to_pandas()
+    assert list(got["v"]) == [3]
+
+    # read_table dispatch
+    assert read_table(root, "hive").count() == 4

@@ -517,3 +517,125 @@ def test_media_features_true_dims_end_to_end():
     rows = {r["media_id"]: r for r in extract_media_features(media, concurrency=1).take_all()}
     assert rows[1]["width"] == 320 and rows[1]["height"] == 200
     assert rows[2]["duration_ms"] == 2000
+
+
+def test_chunk_tokens_windows():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.text import chunk_tokens
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": [
+                    " ".join(f"t{i}" for i in range(10)),  # < size: 1 chunk
+                    " ".join(f"u{i}" for i in range(8)),   # == size: 1 chunk
+                    " ".join(f"v{i}" for i in range(20)),  # 3 chunks
+                    "   ",                                  # empty: 1 empty chunk
+                ],
+            }
+        )
+    )
+    out = chunk_tokens(docs, size=8, overlap=2, col="text").take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+
+    assert [r["n_tokens"] for r in by_doc[0]] == [8, 4]
+    assert by_doc[0][0]["chunk_text"] == " ".join(f"t{i}" for i in range(8))
+    # step = 6: second window starts at token 6 → t6..t9
+    assert by_doc[0][1]["chunk_text"] == " ".join(f"t{i}" for i in range(6, 10))
+
+    assert [r["n_tokens"] for r in by_doc[1]] == [8]
+
+    # n=20, size=8, step=6 → starts 0,6,12 → lens 8,8,8
+    assert [r["n_tokens"] for r in by_doc[2]] == [8, 8, 8]
+    assert by_doc[2][2]["chunk_text"] == " ".join(f"v{i}" for i in range(12, 20))
+    # overlap: last 2 tokens of chunk k == first 2 of chunk k+1
+    c0, c1 = by_doc[2][0]["chunk_text"].split(), by_doc[2][1]["chunk_text"].split()
+    assert c0[-2:] == c1[:2]
+
+    assert [(r["n_tokens"], r["chunk_text"]) for r in by_doc[3]] == [(0, "")]
+
+
+def test_chunk_tokens_matches_sql_oracle(tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lynxkite_ray.pipelines.textops import CHUNK_TOKENS_SQL, q_chunk_tokens
+
+    rng = np.random.default_rng(7)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [
+        " ".join(rng.choice(words, rng.integers(1, 200)).tolist())
+        for _ in range(50)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(50), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 50,
+            "source": ["s"] * 50,
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    mine = q_chunk_tokens(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(CHUNK_TOKENS_SQL).fetchdf()
+    cols = sorted(mine.columns)
+    assert sorted(oracle.columns) == cols
+    mine = mine[cols].sort_values(cols).reset_index(drop=True)
+    oracle = oracle[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_header_decoder_flac_mp3_durations():
+    from lynxkite_ray.functions.multimodal import (
+        HeaderDecoder,
+        parse_flac_duration_ms,
+        parse_mp3_duration_ms,
+    )
+
+    # FLAC STREAMINFO: 44100 Hz, 88200 samples = 2000 ms
+    sr, total, ch, bps = 44100, 88200, 2, 16
+    u64 = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    flac = (
+        b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(10) + u64.to_bytes(8, "big") + bytes(16)
+    )
+    assert parse_flac_duration_ms(flac) == 2000
+
+    # MP3 CBR: MPEG1 Layer III 128 kbps @ 44100, 16000 bytes → 1000 ms
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    assert parse_mp3_duration_ms(hdr + bytes(16000 - 4)) == 1000
+
+    # Xing VBR frame count wins over the CBR estimate:
+    # 38 frames × 1152 / 44100 = 992.65 → 993 ms
+    xing = (
+        hdr + bytes(32) + b"Xing" + (1).to_bytes(4, "big") + (38).to_bytes(4, "big")
+        + bytes(100)
+    )
+    assert parse_mp3_duration_ms(xing) == 993
+
+    # ID3v2 tag skipped before syncing
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10) + hdr + bytes(16000 - 4)
+    assert parse_mp3_duration_ms(id3) == 1000
+
+    assert parse_mp3_duration_ms(b"junk" * 100) is None
+    assert parse_flac_duration_ms(b"nope") is None
+
+    d = HeaderDecoder()
+    assert d.decode("audio", flac)["duration_ms"] == 2000
+    assert d.decode("audio", xing)["duration_ms"] == 993
