@@ -697,3 +697,28 @@ def chunk_tokens(
         )
 
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shard_assign(
+    ds: Dataset,
+    n_shards: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    out: str = "shard",
+) -> Dataset:
+    """Deterministic shard assignment — the packing step of a training-data
+    pipeline (chunk → shuffle-by-hash → fixed shard set).  The hash is a
+    pinned LCG mix over (id, idx) kept inside 63 bits so the identical
+    arithmetic runs in SQL (DuckDB BIGINT overflow raises, unlike numpy's
+    wraparound, so the mix is chosen to never overflow: id ≤ 2^31 and
+    idx ≤ 2^20 stay < 2^63).  Rows with equal keys land on equal shards
+    on every run, every engine — resumable packing at 100 TB depends on
+    exactly this property."""
+
+    def body(t: pa.Table) -> pa.Table:
+        i = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t.column(idx_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (i * 2654435761 + j * 40503 + 7) % 2147483647
+        return t.append_column(out, pa.array(h % n_shards, pa.int64()))
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)

@@ -459,3 +459,43 @@ SELECT doc_id, chunk_idx,
        array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
 FROM expanded
 """
+
+
+def q_training_shards(sf_dir: str):
+    """End-to-end training-data packing: chunk → deterministic shard
+    assignment → per-shard size accounting (pre-combined grouped
+    aggregate, stages/shuffle.py).  (shard, n_chunks, sum_tokens)."""
+    from ..stages.shuffle import grouped_aggregate
+
+    chunks = T.chunk_tokens(_docs(sf_dir), size=64, overlap=16)
+    sharded = T.shard_assign(chunks, n_shards=16)
+    return grouped_aggregate(
+        sharded,
+        keys=["shard"],
+        aggs=[("chunk_idx", "count", "n_chunks"), ("n_tokens", "sum", "sum_tokens")],
+    )
+
+
+TRAINING_SHARDS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                     '\s+') END AS w
+  FROM documents
+), stats AS (
+  SELECT doc_id, len(w) AS n,
+         1 + CAST(CEIL(GREATEST(len(w) - 64, 0) / 48.0) AS BIGINT) AS nchunks
+  FROM toks
+), chunks AS (
+  SELECT doc_id, unnest(range(0, nchunks)) AS chunk_idx, n FROM stats
+), sharded AS (
+  SELECT ((doc_id * 2654435761 + chunk_idx * 40503 + 7) % 2147483647) % 16 AS shard,
+         LEAST(64, n - chunk_idx * 48) AS n_tokens
+  FROM chunks
+)
+SELECT shard, COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM sharded GROUP BY shard
+"""

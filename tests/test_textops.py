@@ -639,3 +639,30 @@ def test_header_decoder_flac_mp3_durations():
     d = HeaderDecoder()
     assert d.decode("audio", flac)["duration_ms"] == 2000
     assert d.decode("audio", xing)["duration_ms"] == 993
+
+
+def test_shard_assign_deterministic_and_balanced():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.text import shard_assign
+
+    import numpy as np
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(2000) % 500, pa.int64()),
+            "chunk_idx": pa.array(np.arange(2000) // 500, pa.int64()),
+        }
+    )
+    a = shard_assign(rd.from_arrow(t), 16).to_pandas()
+    b = shard_assign(rd.from_arrow(t).repartition(7), 16).to_pandas()
+    key = ["doc_id", "chunk_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    # deterministic across partitioning
+    assert (a["shard"] == b["shard"]).all()
+    assert a["shard"].between(0, 15).all()
+    # roughly balanced: no shard more than 2x the mean
+    counts = a["shard"].value_counts()
+    assert counts.max() <= 2 * 2000 / 16
