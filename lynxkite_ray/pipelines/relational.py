@@ -1449,3 +1449,21 @@ activity AS (
 SELECT cohort, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
 FROM activity GROUP BY 1, 2
 """
+
+
+def q_json_props(sf_dir: str):
+    """JSON metadata-blob extraction (stages/transform.json_fields) over
+    the event log's props column — (event_id, event_type, k)."""
+    from ..stages.transform import json_fields
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    return json_fields(
+        ev, "props", {"k": pa.int64()}, keep=["event_id", "event_type"]
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+"""

@@ -284,3 +284,61 @@ def ranking(ds: Dataset, cols: list[str], out: str = "rank", descending=False) -
         return t.append_column(out, r)
 
     return z.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+
+def json_fields(
+    ds: Dataset,
+    col: str,
+    fields: dict[str, "pa.DataType"],
+    keep: list[str] | None = None,
+) -> Dataset:
+    """Extract scalar fields from a JSON string column (the metadata-blob
+    parse step of web-corpus pipelines; the reference covers this through
+    DerivePython, DerivePython.scala:27-74).
+
+    ``fields``: {key: arrow type} for flat scalar keys; missing keys and
+    unparseable rows yield null.  One C-level ``json.loads`` per row —
+    the parse IS the compute here (same cost class as the per-document
+    tokenizers in functions/text.py); the typed column build is Arrow."""
+    import json
+
+    keys = list(fields)
+
+    def body(t: pa.Table) -> pa.Table:
+        raw = t.column(col).to_pylist()
+        cols: dict[str, list] = {k: [] for k in keys}
+        for s in raw:
+            try:
+                d = json.loads(s) if s is not None else {}
+            except ValueError:
+                d = {}
+            if not isinstance(d, dict):
+                d = {}
+            for k in keys:
+                v = d.get(k)
+                cols[k].append(v if not isinstance(v, (dict, list)) else None)
+        base = {
+            c: t.column(c) for c in (keep if keep is not None else t.column_names)
+        }
+        for k in keys:
+            typ = fields[k]
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                vals = [
+                    float(v)
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else None
+                    for v in cols[k]
+                ]
+                base[k] = pc.cast(pa.array(vals, pa.float64()), typ)
+            elif pa.types.is_boolean(typ):
+                base[k] = pa.array(
+                    [v if isinstance(v, bool) else None for v in cols[k]], typ
+                )
+            else:
+                base[k] = pa.array(
+                    [None if v is None else str(v) for v in cols[k]], typ
+                )
+        return pa.table(base)
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)

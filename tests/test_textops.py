@@ -666,3 +666,37 @@ def test_shard_assign_deterministic_and_balanced():
     # roughly balanced: no shard more than 2x the mean
     counts = a["shard"].value_counts()
     assert counts.max() <= 2 * 2000 / 16
+
+
+def test_json_fields_extraction():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.stages.transform import json_fields
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "props": [
+                    '{"k": 87, "name": "a", "flag": true}',
+                    '{"k": -3.0, "name": "x\\"y", "flag": false}',
+                    '{"name": "nok"}',          # k missing → null
+                    "not json at all",           # unparseable → all null
+                    '{"k": [1,2]}',              # container → null
+                    None,                        # null input → all null
+                ],
+            }
+        )
+    )
+    out = json_fields(
+        ds,
+        "props",
+        {"k": pa.float64(), "name": pa.string(), "flag": pa.bool_()},
+        keep=["id"],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["k"].tolist()[:2] == [87.0, -3.0]
+    assert all(out["k"].isna()[2:])
+    assert out["name"].tolist()[:3] == ["a", 'x"y', "nok"]
+    assert out["flag"].tolist()[:2] == [True, False]
+    assert set(out.columns) == {"id", "k", "name", "flag"}
