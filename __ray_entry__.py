@@ -687,7 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_converged",
         # new in round 4
         "set_overlap_for_cc", "lookup_region", "chunk_tokens", "training_shards",
-        "json_props",
+        "json_props", "derive_sql_net",
         # implementation changed in round 4: re-verify
         "join_orders_customers", "hash_join_supplier_nation", "triangle_count",
         "triangles_per_vertex", "media_features", "minhash_dedup",
@@ -752,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": TX.q_chunk_tokens,
         "training_shards": TX.q_training_shards,
         "json_props": R.q_json_props,
+        "derive_sql_net": R.q_derive_sql,
         # --- new this round, SQL-oracled (hash-checkable rows first: the
         # driver samples ~50, so oracle-bearing entries must not spill) ---
         "string_bucketing": ST.q_string_bucketing,
@@ -927,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_tokens": TX.CHUNK_TOKENS_SQL,
         "training_shards": TX.TRAINING_SHARDS_SQL,
         "json_props": R.JSON_PROPS_SQL,
+        "derive_sql_net": R.DERIVE_SQL_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -93,3 +93,59 @@ class SqlStage:
         out = self._con.execute(self.query).fetch_arrow_table()
         self._con.unregister("batch")
         return out
+
+
+class _BatchSQL:
+    """Actor-pool stage: evaluate one SQL statement against each Arrow
+    batch (registered as the view ``batch``).  The DuckDB connection is
+    per-actor state built once in ``__init__`` — the same executor-side
+    expression-compilation pattern as the reference's Derive* ops."""
+
+    def __init__(self, query: str):
+        self.con = duckdb.connect()
+        self.query = query
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self.con.register("batch", t)
+        try:
+            return self.con.execute(self.query).arrow()
+        finally:
+            self.con.unregister("batch")
+
+
+def derive_sql(
+    ds: Dataset,
+    query: str,
+    *,
+    batch_size: int | None = None,
+    concurrency=None,
+) -> Dataset:
+    """DISTRIBUTED per-batch SQL derivation — the DeriveScala/DeriveJS
+    analog (DeriveScala.scala:33-119 compiles an expression once per
+    executor and maps it over rows; here DuckDB's vectorized engine
+    evaluates ``query`` against each batch, registered as the view
+    ``batch``, inside an actor pool).
+
+    Unlike :func:`execute_sql` (driver-side escape hatch), this scales to
+    the full corpus: every batch is processed where it lives, nothing is
+    collected.  ROW-LOCAL semantics only — the query sees ONE batch at a
+    time, so aggregates/joins/window functions across batches are wrong
+    here by construction; use the engine's native operators for those.
+
+        derive_sql(lineitem, "SELECT l_orderkey, "
+                             "l_extendedprice * (1 - l_discount) AS net "
+                             "FROM batch")
+    """
+    if concurrency is None:
+        from ..context import pool_size
+
+        concurrency = pool_size()
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_args=(query,),
+        concurrency=concurrency,
+    )
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    return ds.map_batches(_BatchSQL, **kwargs)

@@ -1467,3 +1467,28 @@ SELECT event_id, event_type,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k
 FROM events
 """
+
+
+def q_derive_sql(sf_dir: str):
+    """Distributed per-batch SQL derivation (functions/sql.derive_sql) —
+    row-local net-price expression over lineitem, evaluated by DuckDB
+    inside the actor pool, never on the driver."""
+    from ..functions.sql import derive_sql
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    return derive_sql(
+        li,
+        "SELECT l_orderkey, l_linenumber, "
+        "ROUND(l_extendedprice * (1 - l_discount), 2) AS net FROM batch",
+    )
+
+
+DERIVE_SQL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS net
+FROM lineitem
+"""

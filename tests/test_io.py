@@ -345,3 +345,23 @@ def test_read_hive_table_pruning_and_partition_column(tmp_path):
 
     # read_table dispatch
     assert read_table(root, "hive").count() == 4
+
+
+def test_derive_sql_distributed_row_local():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.sql import derive_sql
+
+    n = 10_000
+    ds = rd.from_arrow(
+        pa.table({"a": np.arange(n, dtype=np.int64), "b": np.arange(n) * 0.5})
+    ).repartition(8)
+    out = derive_sql(
+        ds, "SELECT a, a * 2 + CAST(FLOOR(b) AS BIGINT) AS c FROM batch", concurrency=2
+    ).to_pandas().sort_values("a").reset_index(drop=True)
+    assert len(out) == n
+    import numpy as np
+    assert (out["c"] == out["a"] * 2 + np.floor(out["a"] * 0.5).astype("int64")).all()
+    assert list(out.columns) == ["a", "c"]
