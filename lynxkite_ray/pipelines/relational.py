@@ -1492,3 +1492,21 @@ SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice * (1 - l_discount), 2) AS net
 FROM lineitem
 """
+
+
+def q_explode_embedding(sf_dir: str):
+    """UNNEST/explode analog (stages/transform.explode) over the real
+    list<float> embedding column — (vec_id, pos, value)."""
+    from ..stages.transform import explode
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return explode(emb, "embedding", value_out="value", pos_col="pos")
+
+
+EXPLODE_EMBEDDING_SQL = """
+SELECT vec_id, unnest(range(len(embedding))) AS pos,
+       unnest(embedding) AS value
+FROM embeddings
+"""

@@ -342,3 +342,41 @@ def json_fields(
         return pa.table(base)
 
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode(
+    ds: Dataset,
+    list_col: str,
+    value_out: str = "value",
+    pos_col: str | None = "pos",
+    keep: list[str] | None = None,
+) -> Dataset:
+    """List column → one row per element (the SQL UNNEST / Spark explode
+    analog; inverse of the AsVector aggregator).  Null / empty lists
+    produce no rows.  Pure Arrow offset math per batch: lengths from the
+    ListArray offsets, parent-row gather via one ``take``, element
+    positions from a cumulative-start subtraction — no per-row Python."""
+
+    def body(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # null lists → length 0 (value_lengths yields null there)
+        lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        # gather the flat element values: flatten() drops null lists'
+        # (nonexistent) slots, matching the lens accounting above
+        values = arr.flatten()
+        cols = {}
+        parent_idx = pa.array(parent, pa.int64())
+        for c in keep if keep is not None else [n for n in t.column_names if n != list_col]:
+            cols[c] = t.column(c).take(parent_idx)
+        if pos_col:
+            cols[pos_col] = pa.array(pos, pa.int64())
+        cols[value_out] = values
+        return pa.table(cols)
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)

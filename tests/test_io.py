@@ -365,3 +365,30 @@ def test_derive_sql_distributed_row_local():
     import numpy as np
     assert (out["c"] == out["a"] * 2 + np.floor(out["a"] * 0.5).astype("int64")).all()
     assert list(out.columns) == ["a", "c"]
+
+
+def test_explode_list_column():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.stages.transform import explode
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(
+                [[10, 20, 30], [], None, [40]], pa.list_(pa.int64())
+            ),
+        }
+    )
+    out = (
+        explode(rd.from_arrow(t), "v")
+        .to_pandas()
+        .sort_values(["id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [1, 1, 1, 4]
+    assert out["pos"].tolist() == [0, 1, 2, 0]
+    assert out["value"].tolist() == [10, 20, 30, 40]
+    assert list(out.columns) == ["id", "pos", "value"]
