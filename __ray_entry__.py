@@ -687,7 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_converged",
         # new in round 4
         "set_overlap_for_cc", "lookup_region", "chunk_tokens", "training_shards",
-        "json_props", "derive_sql_net", "explode_embedding",
+        "json_props", "derive_sql_net", "explode_embedding", "unpivot_lineitem",
         # implementation changed in round 4: re-verify
         "join_orders_customers", "hash_join_supplier_nation", "triangle_count",
         "triangles_per_vertex", "media_features", "minhash_dedup",
@@ -754,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": R.q_json_props,
         "derive_sql_net": R.q_derive_sql,
         "explode_embedding": R.q_explode_embedding,
+        "unpivot_lineitem": R.q_unpivot_lineitem,
         # --- new this round, SQL-oracled (hash-checkable rows first: the
         # driver samples ~50, so oracle-bearing entries must not spill) ---
         "string_bucketing": ST.q_string_bucketing,
@@ -931,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": R.JSON_PROPS_SQL,
         "derive_sql_net": R.DERIVE_SQL_SQL,
         "explode_embedding": R.EXPLODE_EMBEDDING_SQL,
+        "unpivot_lineitem": R.UNPIVOT_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -1510,3 +1510,23 @@ SELECT vec_id, unnest(range(len(embedding))) AS pos,
        unnest(embedding) AS value
 FROM embeddings
 """
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt (stages/transform.unpivot): lineitem wide metrics →
+    long (l_orderkey, l_linenumber, metric, val)."""
+    from ..stages.transform import unpivot
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    return unpivot(li, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"])
+
+
+UNPIVOT_SQL = """
+UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+         FROM lineitem)
+ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val
+"""

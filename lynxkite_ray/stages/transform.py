@@ -380,3 +380,30 @@ def explode(
         return pa.table(cols)
 
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unpivot(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    name_col: str = "metric",
+    value_col: str = "val",
+    value_type: "pa.DataType | None" = None,
+) -> Dataset:
+    """Wide → long (SQL UNPIVOT / pandas melt; inverse of the pivot
+    indicator-column pattern): each row fans out to one row per value
+    column, tagged with the source column name.  Per batch this is K
+    zero-copy column projections concatenated — no row loop; output rows
+    = input × K, re-blocked by the streaming executor downstream."""
+    vt = value_type or pa.float64()
+
+    def body(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {ic: t.column(ic) for ic in id_cols}
+            cols[name_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = pc.cast(t.column(c), vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)

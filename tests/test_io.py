@@ -392,3 +392,27 @@ def test_explode_list_column():
     assert out["pos"].tolist() == [0, 1, 2, 0]
     assert out["value"].tolist() == [10, 20, 30, 40]
     assert list(out.columns) == ["id", "pos", "value"]
+
+
+def test_unpivot_wide_to_long():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.stages.transform import unpivot
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "a": pa.array([10.0, 20.0], pa.float64()),
+            "b": pa.array([0.5, 0.25], pa.float64()),
+        }
+    )
+    out = (
+        unpivot(rd.from_arrow(t), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "metric"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out["metric"].tolist() == ["a", "b", "a", "b"]
+    assert out["val"].tolist() == [10.0, 0.5, 20.0, 0.25]
