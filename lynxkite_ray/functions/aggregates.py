@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import AggregateFnV2, Count, Sum
+from ray.data.aggregate import AggregateFnV2, Count, Max, Min, Sum
 from ray.data.block import Block, BlockAccessor
 
 
@@ -601,3 +601,53 @@ def as_set_concat(
     return part.map_batches(
         body, batch_format="pyarrow", zero_copy_batch=True, batch_size=COALESCE_BATCH
     )
+
+
+def approx_quantiles(
+    ds: "Dataset",
+    col: str,
+    qs: list[float],
+    bins: int = 8192,
+) -> dict[float, float]:
+    """Approximate quantiles by a two-pass fixed-width histogram — the
+    100-TB path where the exact sort-based quantile (pipelines/relational
+    median/grouped_quantile) stops being affordable: pass 1 is a min/max
+    aggregate, pass 2 a ``bins``-cell histogram with MAP-SIDE combine
+    (one int64 vector per block ships to the driver; nothing is sorted,
+    nothing is collected).  The quantile is linearly interpolated inside
+    its bin, so the absolute error is bounded by one bin width
+    ((max-min)/bins); deterministic for fixed input + bins.
+
+    Returns {q: value}.  Pytest pins the error bound against the exact
+    sort-based quantile; rows-only at the driver gate (the bound, not the
+    bit pattern, is the contract)."""
+    import pyarrow.compute as pc
+    import ray
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if not np.isfinite(lo) or not np.isfinite(hi) or hi == lo:
+        return {q: lo for q in qs}
+    width = (hi - lo) / bins
+
+    @ray.remote
+    def hist_block(t: pa.Table) -> np.ndarray:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        return np.bincount(idx, minlength=bins)
+
+    parts = ray.get([hist_block.remote(r) for r in ds.to_arrow_refs()])
+    counts = np.sum(parts, axis=0)
+    total = counts.sum()
+    cum = np.cumsum(counts)
+    out = {}
+    for q in qs:
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, bins - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        inbin = counts[b]
+        frac = (target - prev) / inbin if inbin > 0 else 0.0
+        out[q] = lo + (b + min(max(frac, 0.0), 1.0)) * width
+    return out

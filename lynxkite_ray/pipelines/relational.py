@@ -1530,3 +1530,19 @@ UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
          FROM lineitem)
 ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val
 """
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Histogram-sketch quantiles of l_extendedprice (rows-only: the
+    contract is the one-bin-width error bound, pinned by pytest against
+    the exact sort-based quantile, not a bit pattern)."""
+    from ..functions.aggregates import approx_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    got = approx_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+    return pa.table(
+        {
+            "q": pa.array(sorted(got), pa.float64()),
+            "value": pa.array([round(got[q], 4) for q in sorted(got)], pa.float64()),
+        }
+    )

@@ -416,3 +416,25 @@ def test_unpivot_wide_to_long():
     assert len(out) == 4
     assert out["metric"].tolist() == ["a", "b", "a", "b"]
     assert out["val"].tolist() == [10.0, 0.5, 20.0, 0.25]
+
+
+def test_approx_quantiles_error_bound():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import approx_quantiles
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.normal(100, 15, 20_000), rng.exponential(50, 5_000)])
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(16)
+    bins = 4096
+    got = approx_quantiles(ds, "x", [0.1, 0.5, 0.9, 0.99], bins=bins)
+    bound = (v.max() - v.min()) / bins + 1e-9
+    for q, est in got.items():
+        exact = np.quantile(v, q)
+        assert abs(est - exact) <= 2 * bound, (q, est, exact, bound)
+
+    # constant column degenerates cleanly
+    c = rd.from_arrow(pa.table({"x": np.full(100, 7.0)}))
+    assert approx_quantiles(c, "x", [0.5]) == {0.5: 7.0}
