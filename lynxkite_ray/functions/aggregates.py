@@ -651,3 +651,125 @@ def approx_quantiles(
         frac = (target - prev) / inbin if inbin > 0 else 0.0
         out[q] = lo + (b + min(max(frac, 0.0), 1.0)) * width
     return out
+
+
+def grouped_approx_quantiles(
+    ds: "Dataset",
+    key: str,
+    col: str,
+    qs: list[float],
+    bins: int = 2048,
+) -> "Dataset":
+    """Per-key histogram-sketch quantiles — the grouped sibling of
+    :func:`approx_quantiles`, shaped for keys whose row sets exceed a
+    block (where the exact per-block np.quantile of grouped_quantile
+    would need the whole key resident):
+
+    1. per-key (min, max) via the pre-combined grouped aggregate;
+       collected + ``ray.put`` ONCE (one row per key — the same
+       small-side assumption as broadcast_join, asserted);
+    2. each input block emits (key, bin, cnt) PARTIAL histograms —
+       a hot key ships ≤ bins tiny rows per block, never its row set;
+    3. (key, bin) sum combine, then a key shuffle and a per-block
+       finalize (cumulative histogram → linear interpolation).
+
+    Error ≤ one per-key bin width ((max-min)/bins).  Output:
+    (key, q, value)."""
+    import ray
+
+    from ..stages.shuffle import COALESCE_BATCH, grouped_aggregate, hash_partition
+
+    MAX_KEYS = 5_000_000
+    stats = grouped_aggregate(
+        ds.select_columns([key, col]), [key],
+        [(col, "min", "lo"), (col, "max", "hi")],
+    )
+    st = stats.to_pandas()
+    if len(st) > MAX_KEYS:
+        raise ValueError(
+            f"grouped_approx_quantiles: {len(st)} keys exceed the broadcast "
+            f"bound ({MAX_KEYS}); shard by key range first"
+        )
+    keys_sorted = np.sort(st[key].to_numpy())
+    order = np.argsort(st[key].to_numpy())
+    lo_v = st["lo"].to_numpy().astype(np.float64)[order]
+    hi_v = st["hi"].to_numpy().astype(np.float64)[order]
+    width_v = np.where(hi_v > lo_v, (hi_v - lo_v) / bins, 1.0)
+    ref = ray.put((keys_sorted, lo_v, width_v))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        ks, lo_b, w_b = ray.get(ref)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ki = np.searchsorted(ks, k)
+        b = np.clip(((v - lo_b[ki]) / w_b[ki]).astype(np.int64), 0, bins - 1)
+        combo = ki * bins + b
+        u, cnt = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                key: ks[(u // bins)],
+                "bin": (u % bins).astype(np.int64),
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hist = grouped_aggregate(partials, [key, "bin"], [("cnt", "sum", "n")])
+    part = hash_partition(hist, [key])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        ks, lo_b, w_b = ray.get(ref)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, k))
+        k, b, n = k[order], b[order], n[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        stops = np.append(starts[1:], len(k))
+        out_k, out_q, out_v = [], [], []
+        for a, z in zip(starts, stops):
+            kk = k[a]
+            ki = int(np.searchsorted(ks, kk))
+            cum = np.cumsum(n[a:z])
+            total = cum[-1]
+            for q in qs:
+                target = q * total
+                j = int(np.searchsorted(cum, target, side="left"))
+                j = min(j, z - a - 1)
+                prev = cum[j - 1] if j > 0 else 0
+                inbin = n[a + j]
+                frac = (target - prev) / inbin if inbin > 0 else 0.0
+                val = lo_b[ki] + (b[a + j] + min(max(frac, 0.0), 1.0)) * w_b[ki]
+                out_k.append(kk)
+                out_q.append(q)
+                out_v.append(val)
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return part.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COALESCE_BATCH,
+    )

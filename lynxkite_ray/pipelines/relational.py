@@ -1546,3 +1546,35 @@ def q_approx_quantiles(sf_dir: str):
             "value": pa.array([round(got[q], 4) for q in sorted(got)], pa.float64()),
         }
     )
+
+
+def q_grouped_approx_quantiles(sf_dir: str):
+    """Per-priority order-value quantile sketch (rows-only: error-bound
+    contract pinned by pytest, see approx_quantiles)."""
+    from ..functions.aggregates import grouped_approx_quantiles
+
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # integer key for the sketch (priority '1-URGENT' → 1, ...)
+        p = pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1)
+        return pa.table(
+            {
+                "prio": pc.cast(p, pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    kd = o.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_approx_quantiles(kd, "prio", "o_totalprice", [0.5, 0.9])
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prio": t["prio"],
+                "q": t["q"],
+                "value": pc.round(t["value"], ndigits=4),
+            }
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)

@@ -438,3 +438,39 @@ def test_approx_quantiles_error_bound():
     # constant column degenerates cleanly
     c = rd.from_arrow(pa.table({"x": np.full(100, 7.0)}))
     assert approx_quantiles(c, "x", [0.5]) == {0.5: 7.0}
+
+
+def test_grouped_approx_quantiles_error_bound():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import grouped_approx_quantiles
+
+    rng = np.random.default_rng(11)
+    ks, vs = [], []
+    dists = {
+        0: rng.normal(50, 5, 30_000),
+        1: rng.exponential(20, 10_000),
+        2: rng.uniform(-10, 10, 5_000),
+    }
+    for k, v in dists.items():
+        ks.append(np.full(len(v), k))
+        vs.append(v)
+    t = pa.table(
+        {
+            "k": np.concatenate(ks).astype(np.int64),
+            "x": np.concatenate(vs),
+        }
+    )
+    bins = 2048
+    out = grouped_approx_quantiles(
+        rd.from_arrow(t).repartition(16), "k", "x", [0.1, 0.5, 0.9], bins=bins
+    ).to_pandas()
+    assert len(out) == 9
+    for k, v in dists.items():
+        bound = (v.max() - v.min()) / bins + 1e-9
+        for q in (0.1, 0.5, 0.9):
+            est = out[(out["k"] == k) & (out["q"] == q)]["value"].iloc[0]
+            exact = np.quantile(v, q)
+            assert abs(est - exact) <= 2 * bound, (k, q, est, exact)
