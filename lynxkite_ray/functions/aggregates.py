@@ -621,7 +621,6 @@ def approx_quantiles(
     Returns {q: value}.  Pytest pins the error bound against the exact
     sort-based quantile; rows-only at the driver gate (the bound, not the
     bit pattern, is the contract)."""
-    import pyarrow.compute as pc
     import ray
 
     stats = ds.aggregate(Min(col), Max(col))
