@@ -2,8 +2,9 @@
 decoded / feature-extracted by actor-pool stages.
 
 ``HeaderDecoder`` (the default) does REAL decode for everything the
-container header carries: PNG/JPEG/GIF/BMP dimensions and WAV/FLAC/MP3
-duration (Xing VBR frame count or CBR estimate), parsed with zero
+container header carries: PNG/JPEG/GIF/BMP dimensions, WAV/FLAC/MP3
+duration (Xing VBR frame count or CBR estimate), MP4/MOV mvhd+tkhd
+duration/dimensions and AVI avih metadata, parsed with zero
 dependencies.  Full pixel/sample decode (PIL / ffmpeg /
 soundfile) is NOT in this container, so unrecognized payloads fall back
 to the clearly-marked ``FakeDecoder`` stub — the Ray-side plumbing
@@ -176,9 +177,10 @@ def parse_mp3_duration_ms(p: bytes) -> int | None:
 class HeaderDecoder:
     """Real decode for the formats whose metadata lives in the container
     header (no codec needed): PNG / JPEG / GIF / BMP dimensions; WAV /
-    FLAC / MP3 duration.  Payloads that aren't a recognized container
-    fall back to the deterministic FakeDecoder (video stays stubbed —
-    its codecs aren't in this container)."""
+    FLAC / MP3 duration; MP4/MOV + AVI duration and dimensions.
+    Payloads that aren't a recognized container fall back to the
+    deterministic FakeDecoder (pixel/sample decode needs codecs this
+    container doesn't have)."""
 
     def __init__(self):
         self._fallback = FakeDecoder()
@@ -197,6 +199,15 @@ class HeaderDecoder:
                 dur = parser(payload)
                 if dur is not None:
                     return {"width": 0, "height": 0, "duration_ms": dur}
+        elif kind == "video":
+            for parser in (parse_mp4_meta, parse_avi_meta):
+                m = parser(payload)
+                if m:
+                    return {
+                        "width": m.get("width", 0),
+                        "height": m.get("height", 0),
+                        "duration_ms": m.get("duration_ms", 0),
+                    }
         return self._fallback.decode(kind, payload)
 
 
@@ -269,3 +280,79 @@ def documents_as_media(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_mp4_meta(p: bytes) -> dict | None:
+    """MP4/MOV metadata from the atom tree, header walk only: duration
+    from ``moov/mvhd`` (timescale + duration), dimensions from the first
+    ``moov/trak/tkhd`` with nonzero width/height (16.16 fixed point).
+    None when the payload is not an ISO-BMFF container."""
+    if len(p) < 12 or p[4:8] not in (b"ftyp", b"moov", b"mdat", b"free", b"wide"):
+        return None
+
+    def walk(start: int, end: int, path: tuple[str, ...]):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(p[i : i + 4], "big")
+            name = p[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(p[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # to end of file
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield name, i + hdr, i + size
+            i += size
+
+    out: dict = {}
+    for name, a, z in walk(0, len(p), ()):
+        if name != b"moov":
+            continue
+        for n2, a2, z2 in walk(a, z, ("moov",)):
+            if n2 == b"mvhd" and z2 - a2 >= 20:
+                ver = p[a2]
+                if ver == 1 and z2 - a2 >= 28:
+                    scale = int.from_bytes(p[a2 + 20 : a2 + 24], "big")
+                    dur = int.from_bytes(p[a2 + 24 : a2 + 32], "big")
+                else:
+                    scale = int.from_bytes(p[a2 + 12 : a2 + 16], "big")
+                    dur = int.from_bytes(p[a2 + 16 : a2 + 20], "big")
+                if scale:
+                    out["duration_ms"] = int(round(dur / scale * 1000))
+            elif n2 == b"trak":
+                for n3, a3, z3 in walk(a2, z2, ("moov", "trak")):
+                    if n3 == b"tkhd" and "width" not in out:
+                        # width at body offset 76 (v0) / 88 (v1): 4 ver/flags
+                        # + times/track/dur (20 or 32) + 8 reserved + 8
+                        # layer/group/volume/reserved + 36 matrix
+                        ver = p[a3]
+                        off = a3 + (88 if ver == 1 else 76)
+                        if off + 8 <= z3:
+                            w = int.from_bytes(p[off : off + 4], "big") >> 16
+                            h = int.from_bytes(p[off + 4 : off + 8], "big") >> 16
+                            if w and h:
+                                out["width"], out["height"] = w, h
+    return out or None
+
+
+def parse_avi_meta(p: bytes) -> dict | None:
+    """AVI metadata from the RIFF ``avih`` main header: duration =
+    dwMicroSecPerFrame x dwTotalFrames, plus dwWidth/dwHeight."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    i = p.find(b"avih", 12, 4096)
+    if i < 0 or i + 8 + 40 > len(p):
+        return None
+    body = i + 8  # skip fourcc + cb size
+    us_per_frame = int.from_bytes(p[body : body + 4], "little")
+    total_frames = int.from_bytes(p[body + 16 : body + 20], "little")
+    width = int.from_bytes(p[body + 32 : body + 36], "little")
+    height = int.from_bytes(p[body + 36 : body + 40], "little")
+    out = {"width": width, "height": height}
+    if us_per_frame and total_frames:
+        out["duration_ms"] = int(round(us_per_frame * total_frames / 1000))
+    return out

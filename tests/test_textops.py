@@ -700,3 +700,42 @@ def test_json_fields_extraction():
     assert out["name"].tolist()[:3] == ["a", 'x"y', "nok"]
     assert out["flag"].tolist()[:2] == [True, False]
     assert set(out.columns) == {"id", "k", "name", "flag"}
+
+
+def test_header_decoder_mp4_avi_video():
+    from lynxkite_ray.functions.multimodal import (
+        HeaderDecoder,
+        parse_avi_meta,
+        parse_mp4_meta,
+    )
+
+    def atom(name, body):
+        return (len(body) + 8).to_bytes(4, "big") + name + body
+
+    mvhd = atom(
+        b"mvhd",
+        bytes(4) + bytes(8) + (600).to_bytes(4, "big") + (1200).to_bytes(4, "big")
+        + bytes(80),
+    )
+    tkhd = atom(
+        b"tkhd",
+        bytes(76) + (640 << 16).to_bytes(4, "big") + (360 << 16).to_bytes(4, "big"),
+    )
+    mp4 = atom(b"ftyp", b"isom" + bytes(4)) + atom(b"moov", mvhd + atom(b"trak", tkhd))
+    assert parse_mp4_meta(mp4) == {"duration_ms": 2000, "width": 640, "height": 360}
+
+    avih_body = (
+        (33367).to_bytes(4, "little") + bytes(12) + (300).to_bytes(4, "little")
+        + bytes(12) + (320).to_bytes(4, "little") + (240).to_bytes(4, "little")
+        + bytes(16)
+    )
+    avih = b"avih" + len(avih_body).to_bytes(4, "little") + avih_body
+    hdrl = b"LIST" + (len(avih) + 4).to_bytes(4, "little") + b"hdrl" + avih
+    avi = b"RIFF" + (len(hdrl) + 4).to_bytes(4, "little") + b"AVI " + hdrl
+    assert parse_avi_meta(avi) == {"width": 320, "height": 240, "duration_ms": 10010}
+
+    assert parse_mp4_meta(b"x" * 50) is None and parse_avi_meta(b"y" * 50) is None
+
+    d = HeaderDecoder()
+    assert d.decode("video", mp4) == {"width": 640, "height": 360, "duration_ms": 2000}
+    assert d.decode("video", avi)["duration_ms"] == 10010
