@@ -688,7 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4
         "set_overlap_for_cc", "lookup_region", "chunk_tokens", "training_shards",
         "json_props", "derive_sql_net", "explode_embedding", "unpivot_lineitem",
-        "approx_quantiles", "grouped_approx_quantiles",
+        "approx_quantiles", "grouped_approx_quantiles", "betweenness",
         # implementation changed in round 4: re-verify
         "join_orders_customers", "hash_join_supplier_nation", "triangle_count",
         "triangles_per_vertex", "media_features", "minhash_dedup",
@@ -758,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": R.q_unpivot_lineitem,
         "approx_quantiles": R.q_approx_quantiles,
         "grouped_approx_quantiles": R.q_grouped_approx_quantiles,
+        "betweenness": ST.q_betweenness,
         # --- new this round, SQL-oracled (hash-checkable rows first: the
         # driver samples ~50, so oracle-bearing entries must not spill) ---
         "string_bucketing": ST.q_string_bucketing,

@@ -1266,3 +1266,13 @@ SELECT id, lat, lon,
   END AS region
 FROM pts
 """
+
+
+def q_betweenness(sf_dir: str):
+    """Sampled Brandes betweenness over the co-purchase graph (rows-only:
+    sampling estimator; exact closed forms + estimator quality pinned in
+    tests/test_graph.py)."""
+    from ..functions.graph.betweenness import betweenness
+    from .copurchase import copurchase_edges
+
+    return betweenness(copurchase_edges(sf_dir), k_samples=64, seed=7)

@@ -904,3 +904,76 @@ def test_set_overlap_for_cc_preserves_components():
         # differs; components_oracle uses min-id for both)
         assert cc_full == cc_sub
         rng = np.random.default_rng(100 + trial)
+
+
+def test_betweenness_exact_closed_forms():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.betweenness import betweenness
+
+    def edges(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": np.array([p[0] for p in pairs], np.int64),
+                    "dst": np.array([p[1] for p in pairs], np.int64),
+                }
+            )
+        )
+
+    # path 0-1-2-3: inner nodes carry 2 pairs each (unnormalized)
+    bc = {
+        r["id"]: r["betweenness"]
+        for r in betweenness(
+            edges([(0, 1), (1, 2), (2, 3)]), k_samples=100, normalized=False
+        ).take_all()
+    }
+    assert bc == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+    # star: center carries all C(4,2)=6 pairs; leaves 0
+    bc = {
+        r["id"]: r["betweenness"]
+        for r in betweenness(
+            edges([(0, 1), (0, 2), (0, 3), (0, 4)]), k_samples=100, normalized=False
+        ).take_all()
+    }
+    assert bc[0] == 6.0 and all(bc[i] == 0.0 for i in (1, 2, 3, 4))
+
+    # normalized star center = 1.0
+    bc = {
+        r["id"]: r["betweenness"]
+        for r in betweenness(
+            edges([(0, 1), (0, 2), (0, 3), (0, 4)]), k_samples=100, normalized=True
+        ).take_all()
+    }
+    assert bc[0] == 1.0
+
+
+def test_betweenness_sampled_estimator():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.betweenness import betweenness
+
+    rng = np.random.default_rng(5)
+    n, m = 150, 600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    ds = rd.from_arrow(
+        pa.table({"src": src[keep].astype(np.int64), "dst": dst[keep].astype(np.int64)})
+    )
+    exact = betweenness(ds, k_samples=10_000, normalized=True).to_pandas()
+    est = betweenness(ds, k_samples=60, seed=1, normalized=True).to_pandas()
+    est2 = betweenness(ds, k_samples=60, seed=1, normalized=True).to_pandas()
+    # deterministic for a fixed seed
+    assert (est["betweenness"] == est2["betweenness"]).all()
+    j = exact.merge(est, on="id", suffixes=("_x", "_e"))
+    corr = np.corrcoef(j["betweenness_x"], j["betweenness_e"])[0, 1]
+    assert corr > 0.9
+    # estimator is unbiased-ish in aggregate: totals within 25%
+    tx, te = j["betweenness_x"].sum(), j["betweenness_e"].sum()
+    assert 0.75 < te / tx < 1.33
