@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_overlap_for_cc", "lookup_region", "chunk_tokens", "training_shards",
         "json_props", "derive_sql_net", "explode_embedding", "unpivot_lineitem",
         "approx_quantiles", "grouped_approx_quantiles", "betweenness",
+        "event_lead",
         # implementation changed in round 4: re-verify
         "join_orders_customers", "hash_join_supplier_nation", "triangle_count",
         "triangles_per_vertex", "media_features", "minhash_dedup",
@@ -759,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": R.q_approx_quantiles,
         "grouped_approx_quantiles": R.q_grouped_approx_quantiles,
         "betweenness": ST.q_betweenness,
+        "event_lead": R.event_lead,
         # --- new this round, SQL-oracled (hash-checkable rows first: the
         # driver samples ~50, so oracle-bearing entries must not spill) ---
         "string_bucketing": ST.q_string_bucketing,
@@ -937,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "derive_sql_net": R.DERIVE_SQL_SQL,
         "explode_embedding": R.EXPLODE_EMBEDDING_SQL,
         "unpivot_lineitem": R.UNPIVOT_SQL,
+        "event_lead": R.EVENT_LEAD_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

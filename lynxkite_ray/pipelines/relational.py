@@ -1578,3 +1578,43 @@ def q_grouped_approx_quantiles(sf_dir: str):
         )
 
     return out.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_lead(sf_dir: str):
+    """LEAD — microseconds until the same user's NEXT event (the forward
+    sibling of event_lag; last event of a user → -1 sentinel).  Same
+    partition-local window pattern: one key shuffle, per-block lexsort +
+    shifted diff."""
+    from ..stages.shuffle import hash_partition
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    part = hash_partition(ev, ["user_id"])
+
+    def lead(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "next_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ids = t.column("event_id").to_numpy()
+        order = np.lexsort((ids, ts, u))
+        u, ts, ids = u[order], ts[order], ids[order]
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[-1] = -1
+        gap[:-1] = np.where(u[1:] == u[:-1], ts[1:] - ts[:-1], -1)
+        return pa.table({"event_id": ids, "next_gap_us": gap})
+
+    return part.map_batches(lead, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENT_LEAD_SQL = """
+SELECT event_id,
+       CAST(COALESCE(date_diff('microsecond', ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+           -1) AS BIGINT) AS next_gap_us
+FROM events
+"""
