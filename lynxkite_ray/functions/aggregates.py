@@ -679,20 +679,38 @@ def grouped_approx_quantiles(
     from ..stages.shuffle import COALESCE_BATCH, grouped_aggregate, hash_partition
 
     MAX_KEYS = 5_000_000
+
+    # non-finite rows are invisible to BOTH passes (stats and histogram) —
+    # a NaN reaching the min/max stats would poison the bin width just as
+    # badly as one reaching the binning cast (ADVICE r4); mirrors the
+    # np.isfinite mask on the ungrouped path
+    def _drop_nonfinite(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        m = np.isfinite(v)
+        return t if m.all() else t.filter(pa.array(m))
+
+    ds = ds.select_columns([key, col]).map_batches(
+        _drop_nonfinite, batch_format="pyarrow", zero_copy_batch=True
+    )
     stats = grouped_aggregate(
-        ds.select_columns([key, col]), [key],
+        ds, [key],
         [(col, "min", "lo"), (col, "max", "hi")],
     )
-    st = stats.to_pandas()
-    if len(st) > MAX_KEYS:
+    # Arrow-native collect (one small table per block, no pandas frame on
+    # the driver — VERDICT r4 'What's wrong' #5)
+    st = pa.concat_tables(
+        stats.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    if st.num_rows > MAX_KEYS:
         raise ValueError(
-            f"grouped_approx_quantiles: {len(st)} keys exceed the broadcast "
+            f"grouped_approx_quantiles: {st.num_rows} keys exceed the broadcast "
             f"bound ({MAX_KEYS}); shard by key range first"
         )
-    keys_sorted = np.sort(st[key].to_numpy())
-    order = np.argsort(st[key].to_numpy())
-    lo_v = st["lo"].to_numpy().astype(np.float64)[order]
-    hi_v = st["hi"].to_numpy().astype(np.float64)[order]
+    raw_keys = st.column(key).to_numpy(zero_copy_only=False)
+    order = np.argsort(raw_keys)
+    keys_sorted = raw_keys[order]
+    lo_v = st.column("lo").to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    hi_v = st.column("hi").to_numpy(zero_copy_only=False).astype(np.float64)[order]
     width_v = np.where(hi_v > lo_v, (hi_v - lo_v) / bins, 1.0)
     ref = ray.put((keys_sorted, lo_v, width_v))
 
@@ -708,6 +726,19 @@ def grouped_approx_quantiles(
         ks, lo_b, w_b = ray.get(ref)
         k = t.column(key).to_numpy(zero_copy_only=False)
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # non-finite values would cast undefined into bin 0 — drop them (and
+        # their keys), mirroring the np.isfinite mask on the ungrouped path
+        finite = np.isfinite(v)
+        if not finite.all():
+            k, v = k[finite], v[finite]
+            if len(v) == 0:
+                return pa.table(
+                    {
+                        key: pa.array([], t.schema.field(key).type),
+                        "bin": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
         ki = np.searchsorted(ks, k)
         b = np.clip(((v - lo_b[ki]) / w_b[ki]).astype(np.int64), 0, bins - 1)
         combo = ki * bins + b

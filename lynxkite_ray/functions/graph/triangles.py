@@ -92,7 +92,9 @@ def _prepare(edges: Dataset, assume_canonical: bool):
     ``"empty"`` for an edgeless graph.  ``assume_canonical=True`` skips the
     canonicalize exchange for inputs already in (src<dst, deduped, no
     loops) form — e.g. copurchase_edges."""
-    key = id(edges)
+    # assume_canonical is part of the key: a cache entry built WITHOUT the
+    # canonicalize pass must not satisfy a call that requested it (ADVICE r4)
+    key = (id(edges), assume_canonical)
     hit = _CSR_CACHE.get(key)
     if hit is not None and hit["ds"] is edges:
         return hit["canon"], hit["csr"]

@@ -315,7 +315,12 @@ def parse_mp4_meta(p: bytes) -> dict | None:
         for n2, a2, z2 in walk(a, z, ("moov",)):
             if n2 == b"mvhd" and z2 - a2 >= 20:
                 ver = p[a2]
-                if ver == 1 and z2 - a2 >= 28:
+                if ver == 1:
+                    # v1 needs 32 body bytes for the 64-bit duration; a
+                    # shorter atom is malformed — reject rather than read a
+                    # truncated slice (ADVICE r4)
+                    if z2 - a2 < 32:
+                        continue
                     scale = int.from_bytes(p[a2 + 20 : a2 + 24], "big")
                     dur = int.from_bytes(p[a2 + 24 : a2 + 32], "big")
                 else:

@@ -718,6 +718,12 @@ def shard_assign(
     def body(t: pa.Table) -> pa.Table:
         i = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         j = t.column(idx_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # outside these bounds numpy would silently wrap where DuckDB raises
+        # (and % signs diverge for negatives) — fail as loudly as the oracle
+        if len(i) and (i.min() < 0 or i.max() >= 1 << 31):
+            raise ValueError(f"shard_assign: {id_col} outside [0, 2^31)")
+        if len(j) and (j.min() < 0 or j.max() >= 1 << 20):
+            raise ValueError(f"shard_assign: {idx_col} outside [0, 2^20)")
         h = (i * 2654435761 + j * 40503 + 7) % 2147483647
         return t.append_column(out, pa.array(h % n_shards, pa.int64()))
 

@@ -133,13 +133,22 @@ def read_delta(table_path: str, columns=None, version: int | None = None) -> Dat
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+    import re as _re
+
     commits = {}
-    checkpoints = {}
+    checkpoints: dict[int, list[str]] = {}
+    # classic single-file (n.checkpoint.parquet) and multi-part
+    # (n.checkpoint.i.m.parquet) checkpoint names both count
+    ckpt_re = _re.compile(r"^(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet$")
     for name in os.listdir(log_dir):
         if name.endswith(".json") and name[:20].isdigit():
             commits[int(name[:20])] = os.path.join(log_dir, name)
-        elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
-            checkpoints[int(name[:20])] = os.path.join(log_dir, name)
+        else:
+            m = ckpt_re.match(name)
+            if m:
+                checkpoints.setdefault(int(m.group(1)), []).append(
+                    os.path.join(log_dir, name)
+                )
     if not commits and not checkpoints:
         raise FileNotFoundError(f"empty _delta_log: {table_path}")
     latest = max(list(commits) + list(checkpoints))
@@ -155,7 +164,9 @@ def read_delta(table_path: str, columns=None, version: int | None = None) -> Dat
         base = max(usable_ckpts)
         import pyarrow.parquet as pq
 
-        ck = pq.read_table(checkpoints[base])
+        ck = pa.concat_tables(
+            pq.read_table(p) for p in sorted(checkpoints[base])
+        )
         if "add" in ck.schema.names:
             for a in ck.column("add").to_pylist():
                 if a and a.get("path"):
@@ -164,6 +175,17 @@ def read_delta(table_path: str, columns=None, version: int | None = None) -> Dat
             for r in ck.column("remove").to_pylist():
                 if r and r.get("path"):
                     active.discard(r["path"])
+    # a vacuumed log with no loadable base checkpoint would silently replay
+    # only the surviving commits — refuse instead of returning a partial set
+    replay_start = min(
+        (c for c in commits if base < c <= target), default=base + 1
+    )
+    if base < 0 and replay_start > 0:
+        raise ValueError(
+            f"Delta log at {table_path} starts at commit {replay_start} with "
+            "no base checkpoint ≤ that version — older commits were vacuumed; "
+            "cannot reconstruct the active file set"
+        )
     for v in sorted(c for c in commits if base < c <= target):
         with open(commits[v]) as f:
             for line in f:

@@ -257,6 +257,22 @@ def test_triangles_distributed_matches_local(n, deg, seed):
         triangles_oracle(edges)
 
 
+def test_triangle_csr_cache_keyed_by_assume_canonical():
+    """A cache entry built with assume_canonical=True must not satisfy a
+    later assume_canonical=False call on the same handle (ADVICE r4): the
+    raw input here has duplicate/reversed/loop edges, so skipping the
+    canonicalize pass would double-count."""
+    from lynxkite_ray.functions.graph.triangles import _prepare
+
+    raw = edges_ds(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 1, 1.0), (1, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)]
+    ).materialize()
+    canon_true, _ = _prepare(raw, assume_canonical=True)
+    assert canon_true.count() == 6  # raw passthrough, loop + dups kept
+    canon_false, _ = _prepare(raw, assume_canonical=False)
+    assert canon_false.count() == 3  # canonicalized: {(0,1),(0,2),(1,2)}
+
+
 def test_louvain_deterministic_and_beats_lpa():
     """PLM-analog acceptance (VERDICT r1 item #4): on a planted-partition
     graph, deterministic across runs and modularity ≥ LPA's."""

@@ -314,6 +314,57 @@ def test_delta_log_replay_and_time_travel(tmp_path):
     assert set(pruned) == {"x"}
 
 
+def test_delta_multipart_checkpoint_and_vacuumed_log(tmp_path):
+    """Multi-part checkpoints (n.checkpoint.i.m.parquet) load as the base
+    state; a vacuumed log with no base checkpoint raises instead of
+    silently replaying a partial commit set (ADVICE r4)."""
+    import json
+
+    import pytest
+
+    import pyarrow.parquet as pq
+
+    from lynxkite_ray.sources.io import read_delta
+
+    root = tmp_path / "dt"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    for i in range(4):
+        pq.write_table(pa.table({"x": [i]}), root / f"f{i}.parquet")
+
+    # commits 0-1 were vacuumed; version-1 state lives in a 2-part checkpoint
+    ck_schema = pa.schema(
+        [("add", pa.struct([("path", pa.string())])),
+         ("remove", pa.struct([("path", pa.string())]))]
+    )
+    pq.write_table(
+        pa.table(
+            {"add": [{"path": "f0.parquet"}], "remove": [None]}, schema=ck_schema
+        ),
+        log / f"{1:020d}.checkpoint.{0:010d}.{2:010d}.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"add": [{"path": "f1.parquet"}], "remove": [None]}, schema=ck_schema
+        ),
+        log / f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    with open(log / f"{2:020d}.json", "w") as f:
+        f.write(json.dumps({"remove": {"path": "f0.parquet"}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f2.parquet"}}) + "\n")
+
+    got = sorted(read_delta(str(root)).to_pandas()["x"].tolist())
+    assert got == [1, 2]
+    v1 = sorted(read_delta(str(root), version=1).to_pandas()["x"].tolist())
+    assert v1 == [0, 1]
+
+    # same log without the checkpoint parts: replay would start at commit 2
+    for p in log.glob("*.checkpoint.*"):
+        p.unlink()
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_delta(str(root))
+
+
 def test_read_hive_table_pruning_and_partition_column(tmp_path):
     from lynxkite_ray.sources.io import read_hive_table, write_parquet_partitioned
 
@@ -474,3 +525,31 @@ def test_grouped_approx_quantiles_error_bound():
             est = out[(out["k"] == k) & (out["q"] == q)]["value"].iloc[0]
             exact = np.quantile(v, q)
             assert abs(est - exact) <= 2 * bound, (k, q, est, exact)
+
+
+def test_grouped_approx_quantiles_ignores_nan():
+    """NaN rows are masked before binning (ADVICE r4): a key whose column
+    carries NaNs gets the same quantiles as the NaN-free key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.aggregates import grouped_approx_quantiles
+
+    vals = np.linspace(0.0, 100.0, 5_000)
+    with_nan = np.concatenate([vals, np.full(500, np.nan)])
+    t = pa.table(
+        {
+            "k": np.concatenate(
+                [np.zeros(len(vals)), np.ones(len(with_nan))]
+            ).astype(np.int64),
+            "x": np.concatenate([vals, with_nan]),
+        }
+    )
+    out = grouped_approx_quantiles(
+        rd.from_arrow(t).repartition(8), "k", "x", [0.5], bins=512
+    ).to_pandas()
+    v0 = out[out["k"] == 0]["value"].iloc[0]
+    v1 = out[out["k"] == 1]["value"].iloc[0]
+    assert abs(v0 - v1) <= 100.0 / 512 + 1e-9
+    assert abs(v0 - 50.0) <= 2 * 100.0 / 512

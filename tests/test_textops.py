@@ -667,6 +667,27 @@ def test_shard_assign_deterministic_and_balanced():
     counts = a["shard"].value_counts()
     assert counts.max() <= 2 * 2000 / 16
 
+    # ids outside the SQL-safe range fail loudly instead of silently
+    # diverging from the BIGINT oracle (ADVICE r4)
+    import pytest
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array([1 << 40], pa.int64()),
+            "chunk_idx": pa.array([0], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="doc_id outside"):
+        shard_assign(rd.from_arrow(bad), 16).materialize()
+    neg = pa.table(
+        {
+            "doc_id": pa.array([5], pa.int64()),
+            "chunk_idx": pa.array([-1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="chunk_idx outside"):
+        shard_assign(rd.from_arrow(neg), 16).materialize()
+
 
 def test_json_fields_extraction():
     import pyarrow as pa
@@ -735,6 +756,11 @@ def test_header_decoder_mp4_avi_video():
     assert parse_avi_meta(avi) == {"width": 320, "height": 240, "duration_ms": 10010}
 
     assert parse_mp4_meta(b"x" * 50) is None and parse_avi_meta(b"y" * 50) is None
+
+    # malformed v1 mvhd whose body is 28-31 bytes: the 8-byte duration slice
+    # would run short — rejected instead of a bogus duration (ADVICE r4)
+    short_v1 = atom(b"mvhd", b"\x01" + bytes(3) + bytes(24))  # body = 28
+    assert parse_mp4_meta(atom(b"moov", short_v1)) is None
 
     d = HeaderDecoder()
     assert d.decode("video", mp4) == {"width": 640, "height": 360, "duration_ms": 2000}
