@@ -14,6 +14,8 @@ internals would change.
 from __future__ import annotations
 
 import numpy as np
+
+from ..util import vecs_np
 import pyarrow as pa
 import ray
 from ray.data import Dataset
@@ -26,7 +28,7 @@ def _km_block_init(t: pa.Table, seed: int, k: int, vec_col: str, id_col: str):
     from ..ids import hash64_array
 
     ids = t.column(id_col).to_pylist()
-    V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    V = vecs_np(t.column(vec_col))
     hs = hash64_array([f"{seed}:{i}" for i in ids])
     sel = np.argsort(hs, kind="stable")[:k]
     return hs[sel], V[sel]
@@ -36,7 +38,7 @@ def _km_block_init(t: pa.Table, seed: int, k: int, vec_col: str, id_col: str):
 def _km_block_partial(t: pa.Table, centroids: np.ndarray, vec_col: str):
     """Per-block Lloyd partials: per-centroid vector sums + member counts
     (the map-side combine; the driver only merges k×dim partials)."""
-    V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    V = vecs_np(t.column(vec_col))
     k = len(centroids)
     if len(V) == 0:
         return np.zeros((k, centroids.shape[1])), np.zeros(k, np.int64)
@@ -94,7 +96,7 @@ class KMeansScorer:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        V = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        V = vecs_np(t.column(self.vec_col))
         # same matmul identity as _km_block_partial — never the (n, k, dim)
         # tensor (VERDICT r2 'What's wrong' #10)
         C = self.centroids
@@ -439,7 +441,7 @@ def classify_with_tree(
 def _pca_partials(t: pa.Table, vec_col: str):
     """Per-block (Σx, ΣxᵀX, n) — the covariance never touches raw rows on
     the driver (same distributed shape as _lin_partials)."""
-    V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    V = vecs_np(t.column(vec_col))
     if len(V) == 0:
         return None
     return V.sum(axis=0), V.T @ V, len(V)
@@ -487,7 +489,7 @@ class PCAScorer:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        V = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        V = vecs_np(t.column(self.vec_col))
         P = (V - self.mean) @ self.comps.T if len(V) else np.zeros((0, len(self.comps)))
         return pa.table(
             {

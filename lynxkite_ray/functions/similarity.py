@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ..util import round_away
+from ..util import round_away, vecs_np as _vecs_np
 
 
 def _collect_queries(ds: Dataset, query_ids, vec_col: str, id_col: str):
@@ -31,11 +31,12 @@ def _collect_queries(ds: Dataset, query_ids, vec_col: str, id_col: str):
     )
     ids, vecs = [], []
     for b in q.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        ids.extend(b[id_col].to_pylist())
-        vecs.extend(b[vec_col].to_pylist())
+        ids.append(b[id_col].to_numpy(zero_copy_only=False))
+        vecs.append(_vecs_np(b[vec_col]))
+    ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
     order = np.argsort(ids)
-    Q = np.array(vecs, dtype=np.float64)[order]
-    qid = np.array(ids, dtype=np.int64)[order]
+    Q = (np.concatenate(vecs) if vecs else np.empty((0, 0)))[order]
+    qid = ids.astype(np.int64)[order]
     return qid, Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 
@@ -50,7 +51,7 @@ class _BlockTopK:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column(self.id_col).to_numpy()
-        V = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        V = _vecs_np(t.column(self.vec_col))
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         S = self.Qn @ Vn.T  # (q, block)
         # exclude self-matches
@@ -150,7 +151,7 @@ def ann_threshold(
     def body(t: pa.Table) -> pa.Table:
         qids, Q = ray.get(qref)
         ids = t.column(id_col).to_numpy()
-        V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        V = _vecs_np(t.column(vec_col))
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         S = Q @ Vn.T
         qi, vi = np.nonzero(S >= threshold)
@@ -206,7 +207,7 @@ def ann_ivf(
 
     def assign(t: pa.Table) -> pa.Table:
         Cn_ = ray.get(cref)
-        V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        V = _vecs_np(t.column(vec_col))
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         return pa.table(
             {
@@ -246,7 +247,7 @@ class _HyperplaneSigner:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        V = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        V = _vecs_np(t.column(self.vec_col))
         sig = ((V @ self.H) > 0) @ self.bits
         return pa.table(
             {
