@@ -807,6 +807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": ST.q_effective_diameter,
         "hits_scores": ST.q_hits,
         "pagerank_converged": ST.q_pagerank_converged,
+        # --- new in round 5, SQL-oracled ---
+        "katz_centrality": ST.q_katz,
+        "eigenvector_centrality": ST.q_eigenvector,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,
@@ -951,6 +954,8 @@ def oracle_sql() -> dict[str, str]:
         # engine runs tol=1e-6 early stop; at sf0.01 (the only gate scale)
         # it stops after 8 rounds — measured, see q_pagerank_converged
         "pagerank_converged": _pagerank_sql(8, 0.85),
+        "katz_centrality": ST.KATZ_SQL,
+        "eigenvector_centrality": ST.EIGENVECTOR_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -9,3 +9,4 @@ from .metrics import adamic_adar, degree_assortativity, reciprocity  # noqa: F40
 from .bowtie import bowtie  # noqa: F401
 from .pagerank import personalized_pagerank  # noqa: F401
 from .hits import hits  # noqa: F401
+from .katz import eigenvector_centrality, katz  # noqa: F401

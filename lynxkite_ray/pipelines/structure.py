@@ -1309,6 +1309,97 @@ ORDER BY verts.id"""
 HITS_SQL = _hits_sql(30)
 
 
+def q_katz(sf_dir: str):
+    """Katz centrality on the directed precedence graph (reference menu:
+    GraphComputationOperations.scala:95 'Compute centrality' katz).
+    α = 0.05 < 1/λmax ≈ 1/15 at the gate scale; fixed 30 rounds — the SQL
+    oracle replays the identical truncated series."""
+    import ray.data as rd
+
+    from ..functions.graph import Graph, katz
+
+    g = Graph.from_edges(precedence_edges(sf_dir))
+    x = katz(g, alpha=0.05, beta=1.0, iterations=30)
+    return rd.from_arrow(pa.table({"id": g.vids, "katz": round_away(x, 6)}))
+
+
+def _katz_sql(alpha: float = 0.05, beta: float = 1.0, iterations: int = 30) -> str:
+    """Unrolled x ← α·Aᵀx + β over the precedence graph, x₀ = 0."""
+    parts = [
+        "WITH " + PREC_CTE.strip() + ",",
+        """verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM prec UNION ALL SELECT dst FROM prec)
+),
+x0 AS MATERIALIZED (SELECT id, 0.0::DOUBLE AS x FROM verts)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+g{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(p.x) AS v FROM prec e JOIN x{k - 1} p ON p.id = e.src GROUP BY e.dst
+),
+x{k} AS MATERIALIZED (
+  SELECT verts.id, {alpha} * COALESCE(g{k}.v, 0) + {beta} AS x
+  FROM verts LEFT JOIN g{k} ON g{k}.id = verts.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(x, 6) AS katz FROM x{iterations} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+KATZ_SQL = _katz_sql(0.05, 1.0, 30)
+
+
+def q_eigenvector(sf_dir: str):
+    """Eigenvector centrality on the symmetrized precedence graph
+    (GraphComputationOperations.scala:96 eigenvector): 50 fixed power-
+    iteration rounds, L2-normalized — mirrored exactly by the unrolled SQL."""
+    import ray.data as rd
+
+    from ..functions.graph import Graph, eigenvector_centrality
+    from ..stages.edges import symmetrize
+
+    g = Graph.from_edges(symmetrize(precedence_edges(sf_dir)))
+    x = eigenvector_centrality(g, iterations=50)
+    return rd.from_arrow(
+        pa.table({"id": g.vids, "eigenvector": round_away(x, 6)})
+    )
+
+
+def _eigenvector_sql(iterations: int = 50) -> str:
+    parts = [
+        "WITH " + PREC_CTE.strip() + ",",
+        """spairs AS MATERIALIZED (
+  SELECT src, dst FROM prec UNION SELECT dst, src FROM prec
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM spairs),
+nv AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts),
+e0 AS MATERIALIZED (SELECT id, 1.0 / SQRT((SELECT n FROM nv)) AS x FROM verts)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+g{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(p.x) AS v FROM spairs e JOIN e{k - 1} p ON p.id = e.src GROUP BY e.dst
+),
+e{k} AS MATERIALIZED (
+  SELECT verts.id,
+         COALESCE(g{k}.v, 0) / (SELECT CASE WHEN SQRT(SUM(v * v)) > 0
+                                       THEN SQRT(SUM(v * v)) ELSE 1 END FROM g{k}) AS x
+  FROM verts LEFT JOIN g{k} ON g{k}.id = verts.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(x, 6) AS eigenvector FROM e{iterations} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+EIGENVECTOR_SQL = _eigenvector_sql(50)
+
+
 def q_pagerank_converged(sf_dir: str):
     """North-rule convergence mode: power iteration with tol=1e-6 early
     stop (max 100 rounds) instead of a fixed iteration count.  SQL-oracled

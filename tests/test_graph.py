@@ -811,6 +811,53 @@ def test_hits_vs_dense_oracle():
     np.testing.assert_allclose(auth, a, atol=1e-8)
 
 
+def test_katz_and_eigenvector_vs_dense_oracle():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import (
+        Graph,
+        eigenvector_centrality,
+        katz,
+    )
+
+    rng = np.random.default_rng(37)
+    src = rng.integers(0, 35, 160).astype(np.int64)
+    dst = rng.integers(0, 35, 160).astype(np.int64)
+    keep = src != dst
+    pairs = sorted(set(zip(src[keep].tolist(), dst[keep].tolist())))
+    g = Graph.from_edges(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": np.array([p[0] for p in pairs], np.int64),
+                    "dst": np.array([p[1] for p in pairs], np.int64),
+                }
+            )
+        )
+    )
+    V = g.num_vertices
+    A = np.zeros((V, V))
+    idx = {v: i for i, v in enumerate(g.vids.tolist())}
+    for s, d in pairs:
+        A[idx[s], idx[d]] = 1.0
+
+    alpha, beta, iters = 0.04, 1.0, 25
+    got = katz(g, alpha=alpha, beta=beta, iterations=iters)
+    x = np.zeros(V)
+    for _ in range(iters):
+        x = alpha * (A.T @ x) + beta
+    np.testing.assert_allclose(got, x, atol=1e-10)
+
+    got_e = eigenvector_centrality(g, iterations=40)
+    e = np.full(V, 1.0 / np.sqrt(V))
+    for _ in range(40):
+        y = A.T @ e
+        n = np.linalg.norm(y)
+        e = y / n if n else y
+    np.testing.assert_allclose(got_e, e, atol=1e-10)
+
+
 def test_pagerank_tol_early_stop_matches_long_run(tmp_path):
     """tol=1e-6 convergence mode: the early-stopped vector agrees with a
     long fixed run to within the tolerance, the checkpoint manifest marks
