@@ -810,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5, SQL-oracled ---
         "katz_centrality": ST.q_katz,
         "eigenvector_centrality": ST.q_eigenvector,
+        "segment_quality": SG.q_segment_quality,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,
@@ -956,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": _pagerank_sql(8, 0.85),
         "katz_centrality": ST.KATZ_SQL,
         "eigenvector_centrality": ST.EIGENVECTOR_SQL,
+        "segment_quality": SG.SEGMENT_QUALITY_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -215,3 +215,78 @@ SELECT n.seg AS segment,
        COALESCE(conn.c, 0) = n.n * (n.n - 1) / 2 AS is_clique
 FROM n LEFT JOIN conn ON conn.seg = n.seg
 """
+
+
+def q_segment_quality(sf_dir: str):
+    """SegmentationAttributeOperations.scala:66-76 family — per-brand
+    quality metrics of the brand segmentation over the co-purchase graph
+    (coverage, density, expansion, conductance, hub dominance)."""
+    from ..functions.segmentation import segment_quality
+    from .copurchase import copurchase_edges
+
+    return segment_quality(copurchase_edges(sf_dir), _brand_belongs(sf_dir))
+
+
+SEGMENT_QUALITY_SQL = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+m AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS m FROM edges),
+labeled AS MATERIALIZED (
+  SELECT e.src, e.dst, pa.p_brand AS b_src, pb.p_brand AS b_dst
+  FROM edges e
+  JOIN part pa ON pa.p_partkey = e.src
+  JOIN part pb ON pb.p_partkey = e.dst
+),
+sizes AS MATERIALIZED (
+  SELECT p_brand AS segment, COUNT(*)::BIGINT AS size FROM part GROUP BY 1
+),
+internal AS MATERIALIZED (
+  SELECT b_src AS segment, COUNT(*)::BIGINT AS internal_edges
+  FROM labeled WHERE b_src = b_dst GROUP BY 1
+),
+cut AS MATERIALIZED (
+  SELECT segment, COUNT(*)::BIGINT AS cut_edges FROM (
+    SELECT b_src AS segment FROM labeled WHERE b_src != b_dst
+    UNION ALL
+    SELECT b_dst FROM labeled WHERE b_src != b_dst
+  ) GROUP BY 1
+),
+intdeg AS MATERIALIZED (
+  SELECT segment, v, COUNT(*)::BIGINT AS d FROM (
+    SELECT b_src AS segment, src AS v FROM labeled WHERE b_src = b_dst
+    UNION ALL
+    SELECT b_dst, dst FROM labeled WHERE b_src = b_dst
+  ) GROUP BY 1, 2
+),
+maxdeg AS MATERIALIZED (
+  SELECT segment, MAX(d) AS max_int_deg FROM intdeg GROUP BY 1
+)
+SELECT s.segment,
+       s.size,
+       COALESCE(i.internal_edges, 0) AS internal_edges,
+       COALESCE(c.cut_edges, 0) AS cut_edges,
+       ROUND(COALESCE(i.internal_edges, 0) / (SELECT m FROM m), 6) AS coverage,
+       ROUND(CASE WHEN s.size > 1
+             THEN COALESCE(i.internal_edges, 0) / (s.size * (s.size - 1) / 2.0)
+             ELSE 0 END, 6) AS density,
+       ROUND(COALESCE(c.cut_edges, 0) / s.size::DOUBLE, 6) AS expansion,
+       ROUND(CASE WHEN LEAST(2.0 * COALESCE(i.internal_edges, 0) + COALESCE(c.cut_edges, 0),
+                        2.0 * (SELECT m FROM m)
+                        - (2.0 * COALESCE(i.internal_edges, 0) + COALESCE(c.cut_edges, 0))) > 0
+             THEN COALESCE(c.cut_edges, 0)
+                  / LEAST(2.0 * COALESCE(i.internal_edges, 0) + COALESCE(c.cut_edges, 0),
+                          2.0 * (SELECT m FROM m)
+                          - (2.0 * COALESCE(i.internal_edges, 0) + COALESCE(c.cut_edges, 0)))
+             ELSE 0 END, 6) AS conductance,
+       ROUND(CASE WHEN s.size > 1
+             THEN COALESCE(d.max_int_deg, 0) / (s.size - 1.0) ELSE 0 END, 6)
+           AS hub_dominance
+FROM sizes s
+LEFT JOIN internal i ON i.segment = s.segment
+LEFT JOIN cut c ON c.segment = s.segment
+LEFT JOIN maxdeg d ON d.segment = s.segment
+ORDER BY s.segment
+"""

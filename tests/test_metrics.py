@@ -614,3 +614,47 @@ def test_effective_diameter_vs_exact_bfs():
     assert abs(got["effective_diameter"] - exact) <= 0.75, (
         got["effective_diameter"], exact,
     )
+
+
+def test_segment_quality_hand_computed():
+    """Triangle {0,1,2} in segment A plus a pendant 3 in segment B wired to
+    0 and 1: every metric checked by hand."""
+    from lynxkite_ray.functions.segmentation import segment_quality
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([0, 0, 1, 0, 1], np.int64),
+                "dst": np.array([1, 2, 2, 3, 3], np.int64),
+            }
+        )
+    )
+    belongs = rd.from_arrow(
+        pa.table(
+            {
+                "id": np.array([0, 1, 2, 3], np.int64),
+                "segment": pa.array(["A", "A", "A", "B"]),
+            }
+        )
+    )
+    out = {
+        r["segment"]: r
+        for r in segment_quality(edges, belongs).take_all()
+    }
+    m = 5
+    a = out["A"]
+    # A: 3 members, triangle internal (3 edges), 2 cut edges (0-3, 1-3)
+    assert a["size"] == 3 and a["internal_edges"] == 3 and a["cut_edges"] == 2
+    assert a["coverage"] == round(3 / m, 6)
+    assert a["density"] == 1.0           # 3 / C(3,2)
+    assert a["expansion"] == round(2 / 3, 6)
+    # vol(A) = 8, 2m - vol = 2 -> conductance = 2/2 = 1.0
+    assert a["conductance"] == 1.0
+    assert a["hub_dominance"] == 1.0     # max internal degree 2 / (3-1)
+    b = out["B"]
+    # B: single vertex, no internal edges, 2 cut edges
+    assert b["size"] == 1 and b["internal_edges"] == 0 and b["cut_edges"] == 2
+    assert b["density"] == 0.0 and b["hub_dominance"] == 0.0
+    assert b["expansion"] == 2.0
+    # vol(B) = 2, min(2, 8) = 2 -> conductance 1.0
+    assert b["conductance"] == 1.0
