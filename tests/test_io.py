@@ -57,8 +57,71 @@ def test_csv_json_roundtrip(tmp_path):
     ds.write_json(jdir)
     assert read_table(cdir, "csv").count() == 20
     assert read_table(jdir, "json").count() == 20
-    with pytest.raises(NotImplementedError):
-        read_table("/tmp/x", "jdbc")
+    # unknown engine in a jdbc url fails loudly (JVM-only drivers need a
+    # connection-factory callable)
+    with pytest.raises(ValueError, match="unknown engine"):
+        read_table("jdbc:oracle:thin@db", "jdbc", query="SELECT 1")
+
+
+def test_read_database_partitioned_duckdb_and_sqlite(tmp_path):
+    """read_database (ImportOperations.scala:133 partitioned-JDBC slot):
+    range-partitioned parallel reads return the full result set from both
+    available engines, with and without a partition column."""
+    import sqlite3
+
+    import duckdb
+
+    from lynxkite_ray.sources.io import read_database
+
+    n = 1_000
+    ddb = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(ddb)
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS k, range * 2 AS v, "
+        "'s' || (range % 7) AS s FROM range(1000)"
+    )
+    con.close()
+
+    got = (
+        read_database(f"duckdb:{ddb}", "SELECT * FROM t", "k", num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert got["k"].tolist() == list(range(n))
+    assert got["v"].tolist() == [2 * i for i in range(n)]
+    assert got["s"][8] == "s1"
+
+    # jdbc-alias URL + single-task path (no partition column)
+    one = read_database("jdbc:duckdb:" + ddb, "SELECT COUNT(*) AS c FROM t")
+    assert one.take(1)[0]["c"] == n
+
+    sq = str(tmp_path / "t.sqlite")
+    sc = sqlite3.connect(sq)
+    sc.execute("CREATE TABLE t (k INTEGER, v REAL)")
+    sc.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, i * 0.5) for i in range(200)]
+    )
+    sc.commit()
+    sc.close()
+    got = (
+        read_database(("sqlite", sq), "SELECT * FROM t", "k", num_partitions=3)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 200 and got["v"][9] == 4.5
+
+    # connection-factory callable path
+    got2 = read_database(
+        lambda: sqlite3.connect(sq), "SELECT * FROM t WHERE k < 10"
+    ).to_pandas()
+    assert len(got2) == 10
+
+    # empty result with a partition column: no range split, zero rows
+    empty = read_database(f"duckdb:{ddb}", "SELECT * FROM t WHERE k < 0", "k")
+    assert empty.count() == 0
 
 
 def test_make_symmetric_min_matched_pairs():
