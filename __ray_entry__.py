@@ -811,6 +811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_centrality": ST.q_katz,
         "eigenvector_centrality": ST.q_eigenvector,
         "segment_quality": SG.q_segment_quality,
+        # --- new in round 5, rows-only (pytest-pinned) ---
+        "steiner_tree": ST.q_steiner_tree,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,

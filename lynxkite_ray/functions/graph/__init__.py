@@ -10,3 +10,4 @@ from .bowtie import bowtie  # noqa: F401
 from .pagerank import personalized_pagerank  # noqa: F401
 from .hits import hits  # noqa: F401
 from .katz import eigenvector_centrality, katz  # noqa: F401
+from .steiner import steiner_tree  # noqa: F401

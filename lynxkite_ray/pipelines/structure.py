@@ -1400,6 +1400,44 @@ e{k} AS MATERIALIZED (
 EIGENVECTOR_SQL = _eigenvector_sql(50)
 
 
+def q_steiner_tree(sf_dir: str):
+    """Find Steiner tree (GraphComputationOperations.scala:411 /
+    Dapcstp.scala) — exact Dreyfus-Wagner over the precedence subgraph
+    induced on part ids < 400, synthetic deterministic edge costs
+    ((src + dst) % 7 + 1), terminals = the 5 smallest part ids present.
+    Rows-only: the DP is not SQL-expressible; pytest pins planted trees
+    and a brute-force differential."""
+    import pyarrow.compute as pc
+
+    from ..functions.graph import steiner_tree
+
+    e = precedence_edges(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.less(t["src"], 400), pc.less(t["dst"], 400))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def with_cost(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table(
+            {
+                "src": s,
+                "dst": d,
+                "cost": ((s + d) % 7 + 1).astype(np.float64),
+            }
+        )
+
+    weighted = e.map_batches(with_cost, batch_format="pyarrow").materialize()
+    ids = []
+    for b in weighted.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        ids.append(b["src"].to_numpy())
+        ids.append(b["dst"].to_numpy())
+    terms = np.unique(np.concatenate(ids))[:5] if ids else []
+    return steiner_tree(weighted, terms, weight_col="cost")
+
+
 def q_pagerank_converged(sf_dir: str):
     """North-rule convergence mode: power iteration with tol=1e-6 early
     stop (max 100 rounds) instead of a fixed iteration count.  SQL-oracled

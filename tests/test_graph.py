@@ -1040,3 +1040,77 @@ def test_betweenness_sampled_estimator():
     # estimator is unbiased-ish in aggregate: totals within 25%
     tx, te = j["betweenness_x"].sum(), j["betweenness_e"].sum()
     assert 0.75 < te / tx < 1.33
+
+
+def test_steiner_tree_planted_and_bruteforce():
+    """Dreyfus-Wagner exactness: (a) a planted cheap path beats a direct
+    expensive edge; (b) random weighted graphs match a brute-force
+    minimum over all connected edge subsets (tiny instances)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import steiner_tree
+
+    def eds(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": np.array([r[0] for r in rows], np.int64),
+                    "dst": np.array([r[1] for r in rows], np.int64),
+                    "w": np.array([r[2] for r in rows], np.float64),
+                }
+            )
+        )
+
+    # planted: terminals {0, 3}; direct edge costs 10, path 0-1-2-3 costs 3
+    rows = [(0, 3, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (2, 4, 5.0)]
+    got = steiner_tree(eds(rows), [0, 3], weight_col="w").take_all()
+    got_edges = {(r["src"], r["dst"]) for r in got}
+    assert got_edges == {(0, 1), (1, 2), (2, 3)}
+    assert sum(r["cost"] for r in got) == 3.0
+
+    # star steiner point: terminals {1,2,3} around hub 0
+    rows = [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0), (1, 2, 2.5), (2, 3, 2.5)]
+    got = steiner_tree(eds(rows), [1, 2, 3], weight_col="w").take_all()
+    assert {(r["src"], r["dst"]) for r in got} == {(0, 1), (0, 2), (0, 3)}
+
+    # brute-force differential on random graphs
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        n = 7
+        pairs = list(itertools.combinations(range(n), 2))
+        keep = rng.random(len(pairs)) < 0.55
+        rows = [
+            (a, b, float(rng.integers(1, 10)))
+            for (a, b), k in zip(pairs, keep)
+            if k
+        ]
+        terms = sorted(rng.choice(n, size=3, replace=False).tolist())
+        # brute force: min total weight over edge subsets connecting terms
+        best = None
+        m = len(rows)
+        for mask in range(1 << m):
+            sel = [rows[i] for i in range(m) if mask >> i & 1]
+            cost = sum(r[2] for r in sel)
+            if best is not None and cost >= best:
+                continue
+            # connectivity of terminals via union-find
+            par = list(range(n))
+            def find(x):
+                while par[x] != x:
+                    par[x] = par[par[x]]
+                    x = par[x]
+                return x
+            for a, b, _ in sel:
+                par[find(a)] = find(b)
+            if len({find(t) for t in terms}) == 1:
+                best = cost
+        try:
+            got = steiner_tree(eds(rows), terms, weight_col="w").take_all()
+            total = sum(r["cost"] for r in got)
+            assert best is not None
+            assert abs(total - best) < 1e-9, (trial, total, best)
+        except ValueError:
+            assert best is None  # disconnected terminals must raise
