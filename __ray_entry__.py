@@ -960,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_centrality": ST.KATZ_SQL,
         "eigenvector_centrality": ST.EIGENVECTOR_SQL,
         "segment_quality": SG.SEGMENT_QUALITY_SQL,
+        "media_features": TX.MEDIA_FEATURES_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -260,17 +260,87 @@ def extract_media_features(
     )
 
 
+def synth_media_payload(i: int) -> tuple[str, bytes]:
+    """(kind, payload): a REAL minimal container per id — WAV / PNG / GIF /
+    BMP / MP4 cycling on id % 5 — whose header metadata is an arithmetic
+    function of the id:
+
+        width  = 16 + i % 613   (images, video; 0 for audio)
+        height = 9  + i % 427
+        duration_ms = 500 + i % 9000  (audio, video; 0 for images)
+
+    so the media_features SQL oracle can recompute every decoded value
+    WITHOUT parsing bytes, while the engine must genuinely walk the binary
+    headers to reproduce them — an end-to-end differential of the decode
+    path (VERDICT r4 #10)."""
+    w = 16 + i % 613
+    h = 9 + i % 427
+    dur = 500 + i % 9000
+    m = i % 5
+    if m == 0:  # WAV: byte_rate 1000 → duration_ms == data chunk size
+        data = bytes(dur)
+        fmt_body = (
+            (1).to_bytes(2, "little")  # PCM
+            + (1).to_bytes(2, "little")  # mono
+            + (1000).to_bytes(4, "little")  # sample rate
+            + (1000).to_bytes(4, "little")  # byte rate
+            + (1).to_bytes(2, "little")
+            + (8).to_bytes(2, "little")
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        return "audio", b"RIFF" + len(body).to_bytes(4, "little") + body
+    if m == 1:  # PNG
+        ihdr = (
+            (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x02\x00\x00\x00" + bytes(4)  # depth/type + crc (unchecked)
+        )
+        iend = (0).to_bytes(4, "big") + b"IEND" + bytes(4)
+        return "image", b"\x89PNG\r\n\x1a\n" + ihdr + iend
+    if m == 2:  # GIF
+        return "image", (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes(3) + b";"
+        )
+    if m == 3:  # BMP (BITMAPINFOHEADER)
+        return "image", (
+            b"BM" + (54).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + bytes(24)
+        )
+    # MP4: ftyp + moov(mvhd timescale 1000 / duration dur, trak/tkhd dims)
+    def atom(name: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + name + body
+
+    mvhd = atom(b"mvhd", bytes(4) + bytes(8) + (1000).to_bytes(4, "big")
+                + dur.to_bytes(4, "big") + bytes(80))
+    tkhd = atom(b"tkhd", bytes(76) + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big"))
+    return "video", atom(b"ftyp", b"isom" + bytes(4)) + atom(
+        b"moov", mvhd + atom(b"trak", tkhd)
+    )
+
+
 def documents_as_media(sf_dir: str) -> Dataset:
-    """Adapter for the sandbox: treat document text bytes as opaque media
-    payloads so the plumbing has a deterministic input."""
+    """Deterministic media fixture keyed by the documents table's ids:
+    every row is a real minimal container from :func:`synth_media_payload`
+    (the sandbox has no codecs, but header-level decode is real)."""
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def conv(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
-        payloads = [s.encode("utf-8") for s in t.column("text").to_pylist()]
-        kinds = ["image" if i % 3 else "audio" for i in ids.tolist()]
+        kinds, payloads = [], []
+        for i in ids.tolist():
+            k, p = synth_media_payload(int(i))
+            kinds.append(k)
+            payloads.append(p)
         return pa.table(
             {
                 "media_id": ids,

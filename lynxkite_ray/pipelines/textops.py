@@ -267,7 +267,32 @@ def q_fingerprint_matching(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """SQL-oracled since r5: the fixture payloads are real minimal
+    containers (WAV/PNG/GIF/BMP/MP4) whose metadata is an arithmetic
+    function of doc_id (multimodal.synth_media_payload), so the oracle
+    recomputes every decoded value from the formula while the engine must
+    genuinely parse the binary headers."""
     return extract_media_features(documents_as_media(sf_dir))
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 5 WHEN 0 THEN 'audio' WHEN 4 THEN 'video'
+            ELSE 'image' END AS kind,
+       CAST(CASE doc_id % 5
+            WHEN 0 THEN 44 + 500 + doc_id % 9000
+            WHEN 1 THEN 45
+            WHEN 2 THEN 14
+            WHEN 3 THEN 54
+            ELSE 232 END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE 16 + doc_id % 613 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE 9 + doc_id % 427 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 5 IN (0, 4) THEN 500 + doc_id % 9000
+            ELSE 0 END AS BIGINT) AS duration_ms
+FROM documents
+"""
 
 
 def q_text_embeddings(sf_dir: str):
