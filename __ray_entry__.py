@@ -674,30 +674,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # FIRST (the `_head` list below), then the ones whose implementation
     # changed most recently, then the repeatedly-verified backbone.
     _head = [
-        # 16 SQL-oracled, registered in r3, never driver-sampled
-        "adjacency_lists", "string_bucketing", "double_bucketing",
-        "interval_bucketing", "vertex_bucket_grid", "import_edges_for_existing",
-        "pulled_over_attribute", "log_histogram", "max_by_priority",
-        "count_most_common_priority", "quantity_vector", "min_positive_acctbal",
-        "weighted_sum_price", "token_count", "events_asof_click",
-        "repetition_signals",
-        # 20 rows-only, registered in r3, never driver-sampled
-        "text_embeddings", "text_embedding_ann", "modular_tweaks",
-        "pca_embeddings", "node2vec_embeddings", "gcn_scores", "gcn_regression",
-        "hypermap_coords", "hyperbolic_prediction", "tsne_embeddings",
-        "ann_ivf", "winnowing_fingerprints", "host_graph_pagerank",
-        "core_numbers", "strongly_connected_components", "bowtie",
-        "personalized_pagerank", "effective_diameter", "hits_scores",
-        "pagerank_converged",
-        # new in round 4
-        "set_overlap_for_cc", "lookup_region", "chunk_tokens", "training_shards",
-        "json_props", "derive_sql_net", "explode_embedding", "unpivot_lineitem",
-        "approx_quantiles", "grouped_approx_quantiles", "betweenness",
-        "event_lead",
-        # implementation changed in round 4: re-verify
-        "join_orders_customers", "hash_join_supplier_nation", "triangle_count",
-        "triangles_per_vertex", "media_features", "minhash_dedup",
-        "neighbor_price_stats", "semi_join_building_orders",
+        # --- new or newly SQL-oracled in round 5 (VERDICT r4 #1) ---
+        "katz_centrality", "eigenvector_centrality", "segment_quality",
+        "steiner_tree", "media_features", "hits_scores", "core_numbers",
+        "strongly_connected_components", "pagerank_converged",
+        # oracle registered since r3 but never re-sampled with it
+        "ann_topk",
+        # --- implementation changed in round 5: re-verify ---
+        # zero-copy vector extraction (util.vecs_np) touched every ANN /
+        # embedding / model matrix build; exact_dedup got buffer-sliced md5;
+        # _doc_words feeds jaccard; grouped_approx_quantiles got NaN masking
+        "exact_dedup", "jaccard_pairs", "embedding_neardup", "ann_threshold",
+        "ann_lsh", "ann_ivf", "text_embeddings", "text_embedding_ann",
+        "kmeans_clusters", "minhash_dedup", "simhash", "logistic_scores",
+        "pca_embeddings", "decision_tree_scores", "linear_regression",
+        "approx_quantiles", "grouped_approx_quantiles", "training_shards",
+        # --- oracle text changed in round 5 (MATERIALIZED CTEs): re-verify ---
+        "pagerank", "pagerank_weighted", "connected_components",
+        "label_propagation", "degree", "in_degree", "triangle_count",
+        "triangles_per_vertex", "neighbor_price_stats",
+        # --- rows-only tail: keep a fresh driver row on record ---
+        "host_graph_pagerank", "bowtie", "personalized_pagerank",
+        "effective_diameter", "betweenness", "winnowing_fingerprints",
+        "modular_tweaks", "node2vec_embeddings", "gcn_scores",
+        "hypermap_coords", "tsne_embeddings", "louvain",
     ]
     q = {
         # --- new in round 3 (never driver-checked) ---
