@@ -275,8 +275,8 @@ def _q_random_walk(sf_dir: str):
 
 
 def _q_snowball(sf_dir: str):
-    """CreateSnowballSample analog — 2-hop ball around min vertex (rows-only;
-    the radius-limited variant of the oracle-checked shortest_paths)."""
+    """CreateSnowballSample analog — 2-hop ball around the min vertex.
+    SQL-oracled since r5 (depth-limited recursive-CTE BFS)."""
     import numpy as np
 
     from lynxkite_ray.functions.graph.sampling import snowball_sample
@@ -394,8 +394,9 @@ def _q_modular_partitioning(sf_dir: str):
 
 
 def _q_dispersion(sf_dir: str):
-    """Dispersion.scala:49 analog over the precedence graph — rows-only
-    (exact brute-force differential in pytest)."""
+    """Dispersion.scala:49 analog over the precedence graph.  SQL-oracled
+    since r5 (literal replay of the restricted-neighborhood pair count);
+    pytest additionally pins an exact brute-force differential."""
     from lynxkite_ray.functions.graph.dispersion import dispersion
     from lynxkite_ray.pipelines.structure import precedence_edges
 
@@ -678,6 +679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_centrality", "eigenvector_centrality", "segment_quality",
         "steiner_tree", "media_features", "hits_scores", "core_numbers",
         "strongly_connected_components", "pagerank_converged",
+        "closeness_centrality", "lin_centrality", "average_distance",
+        "laplacian_centrality", "snowball_sample", "dispersion",
         # oracle registered since r3 but never re-sampled with it
         "ann_topk",
         # --- implementation changed in round 5: re-verify ---
@@ -811,6 +814,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_centrality": ST.q_katz,
         "eigenvector_centrality": ST.q_eigenvector,
         "segment_quality": SG.q_segment_quality,
+        "closeness_centrality": ST.q_closeness,
+        "lin_centrality": ST.q_lin_centrality,
+        "average_distance": ST.q_average_distance,
+        "laplacian_centrality": ST.q_laplacian_centrality,
         # --- new in round 5, rows-only (pytest-pinned) ---
         "steiner_tree": ST.q_steiner_tree,
         # --- implementation changed this round: re-verify ---
@@ -961,6 +968,17 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_centrality": ST.EIGENVECTOR_SQL,
         "segment_quality": SG.SEGMENT_QUALITY_SQL,
         "media_features": TX.MEDIA_FEATURES_SQL,
+        # --- new or converted from rows-only in round 5, session 2 ---
+        "closeness_centrality": ST.CLOSENESS_SQL,
+        "lin_centrality": ST.LIN_SQL,
+        "average_distance": ST.AVG_DISTANCE_SQL,
+        "laplacian_centrality": ST.LAPLACIAN_SQL,
+        "personalized_pagerank": ST.PPR_SQL,
+        "bowtie": ST.BOWTIE_SQL,
+        "snowball_sample": ST.SNOWBALL_SQL,
+        "dispersion": ST.DISPERSION_SQL,
+        "approx_quantiles": R.APPROX_QUANTILES_SQL,
+        "grouped_approx_quantiles": R.GROUPED_APPROX_QUANTILES_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

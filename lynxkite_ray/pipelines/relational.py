@@ -1533,25 +1533,77 @@ ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val
 
 
 def q_approx_quantiles(sf_dir: str):
-    """Histogram-sketch quantiles of l_extendedprice (rows-only: the
-    contract is the one-bin-width error bound, pinned by pytest against
-    the exact sort-based quantile, not a bit pattern)."""
+    """Histogram-sketch quantiles of l_extendedprice.  SQL-oracled since
+    r5: the two-pass sketch is deterministic (min/max + fixed-width
+    binning + linear interpolation), so the oracle replays the identical
+    float64 arithmetic; pytest additionally pins the one-bin-width error
+    bound against the exact sort-based quantile."""
     from ..functions.aggregates import approx_quantiles
+    from ..util import round_away
 
     li = _read(sf_dir, "lineitem", ["l_extendedprice"])
     got = approx_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+    qs = sorted(got)
     return pa.table(
         {
-            "q": pa.array(sorted(got), pa.float64()),
-            "value": pa.array([round(got[q], 4) for q in sorted(got)], pa.float64()),
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(
+                round_away(np.array([got[q] for q in qs]), 6), pa.float64()
+            ),
         }
     )
 
 
+def _approx_quantiles_sql(
+    table: str, col: str, qs: list[float], bins: int = 8192
+) -> str:
+    """Literal SQL replay of aggregates.approx_quantiles: same width
+    ((hi-lo)/bins), same truncating bin cast, same searchsorted-left bin
+    pick over the cumulative histogram (empty bins are never picked for
+    q > 0 — cum doesn't increase there), same clipped interpolation."""
+    q_values = ", ".join(f"({q}::DOUBLE)" for q in qs)
+    return f"""
+WITH st AS MATERIALIZED (
+  SELECT MIN({col})::DOUBLE AS lo, MAX({col})::DOUBLE AS hi,
+         COUNT({col})::DOUBLE AS total,
+         (MAX({col})::DOUBLE - MIN({col})::DOUBLE) / {bins}.0 AS w
+  FROM {table}
+),
+hist AS MATERIALIZED (
+  SELECT b, cnt, SUM(cnt) OVER (ORDER BY b) AS cum FROM (
+    SELECT LEAST(GREATEST(CAST(FLOOR(({col}::DOUBLE - st.lo) / st.w) AS BIGINT), 0),
+                 {bins - 1}) AS b,
+           COUNT(*)::DOUBLE AS cnt
+    FROM {table}, st GROUP BY 1
+  )
+),
+qs(q) AS (VALUES {q_values}),
+pick AS MATERIALIZED (
+  SELECT q, b, cnt, cum - cnt AS prev FROM (
+    SELECT qs.q, h.b, h.cnt, h.cum,
+           ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY h.b) AS rn
+    FROM qs JOIN hist h ON h.cum >= qs.q * (SELECT total FROM st)
+  ) WHERE rn = 1
+)
+SELECT q,
+       ROUND(st.lo + (p.b + LEAST(GREATEST((p.q * st.total - p.prev) / p.cnt, 0.0),
+                                  1.0)) * st.w, 6) AS value
+FROM pick p, st ORDER BY q
+"""
+
+
+APPROX_QUANTILES_SQL = _approx_quantiles_sql(
+    "lineitem", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+)
+
+
 def q_grouped_approx_quantiles(sf_dir: str):
-    """Per-priority order-value quantile sketch (rows-only: error-bound
-    contract pinned by pytest, see approx_quantiles)."""
+    """Per-priority order-value quantile sketch.  SQL-oracled since r5
+    (deterministic per-key histogram replayed literally, see
+    q_approx_quantiles); pytest additionally pins the per-key error
+    bound."""
     from ..functions.aggregates import grouped_approx_quantiles
+    from ..util import round_away
 
     o = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
 
@@ -1573,11 +1625,52 @@ def q_grouped_approx_quantiles(sf_dir: str):
             {
                 "prio": t["prio"],
                 "q": t["q"],
-                "value": pc.round(t["value"], ndigits=4),
+                "value": pa.array(
+                    round_away(
+                        t.column("value").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
             }
         )
 
     return out.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GROUPED_APPROX_QUANTILES_SQL = """
+WITH kd AS MATERIALIZED (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+         o_totalprice::DOUBLE AS v
+  FROM orders
+),
+st AS MATERIALIZED (
+  SELECT prio, MIN(v) AS lo,
+         CASE WHEN MAX(v) > MIN(v) THEN (MAX(v) - MIN(v)) / 2048.0 ELSE 1.0 END AS w
+  FROM kd GROUP BY prio
+),
+hist AS MATERIALIZED (
+  SELECT prio, b, cnt, SUM(cnt) OVER (PARTITION BY prio ORDER BY b) AS cum FROM (
+    SELECT kd.prio,
+           LEAST(GREATEST(CAST(FLOOR((kd.v - st.lo) / st.w) AS BIGINT), 0), 2047) AS b,
+           COUNT(*)::DOUBLE AS cnt
+    FROM kd JOIN st USING (prio) GROUP BY 1, 2
+  )
+),
+tot AS MATERIALIZED (SELECT prio, SUM(cnt) AS total FROM hist GROUP BY prio),
+qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE)),
+pick AS MATERIALIZED (
+  SELECT prio, q, b, cnt, cum - cnt AS prev, target FROM (
+    SELECT h.prio, qs.q, h.b, h.cnt, h.cum, t.total * qs.q AS target,
+           ROW_NUMBER() OVER (PARTITION BY h.prio, qs.q ORDER BY h.b) AS rn
+    FROM hist h JOIN tot t USING (prio) CROSS JOIN qs
+    WHERE h.cum >= t.total * qs.q
+  ) WHERE rn = 1
+)
+SELECT p.prio, p.q,
+       ROUND(st.lo + (p.b + LEAST(GREATEST((p.target - p.prev) / p.cnt, 0.0),
+                                  1.0)) * st.w, 6) AS value
+FROM pick p JOIN st USING (prio) ORDER BY p.prio, p.q
+"""
 
 
 def event_lead(sf_dir: str):

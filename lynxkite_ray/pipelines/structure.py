@@ -40,6 +40,20 @@ prec AS (
 )
 """
 
+# Copurchase graph CTE mirrored from __ray_entry__._EDGES_CTE (the oracle
+# convention: all parts are vertices, co-purchased pairs are undirected
+# edges).
+COPUR_CTE = """
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+vertices AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+nv AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM vertices)
+"""
+
 
 def precedence_pairs(sf_dir: str):
     """Raw (non-distinct) directed part-precedence pairs."""
@@ -1152,16 +1166,64 @@ ORDER BY verts.id
 
 
 def q_bowtie(sf_dir: str):
-    """Broder bowtie decomposition of the directed precedence graph —
-    rows-only (pytest pins against BFS oracles on planted structure)."""
+    """Broder bowtie decomposition of the directed precedence graph.
+    SQL-oracled since r5: SCC labels via the mutual-reachability closure
+    (same CTE as SCC_SQL), core = largest SCC (tie → smallest label),
+    IN/OUT via the same closure; pytest additionally pins BFS oracles on
+    planted structure."""
     from ..functions.graph import bowtie
 
     return bowtie(precedence_edges(sf_dir))
 
 
+BOWTIE_SQL = (
+    "WITH RECURSIVE "
+    + PREC_CTE.strip()
+    + """,
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM prec UNION ALL SELECT dst FROM prec)
+),
+reach(a, b) AS (
+  SELECT src, dst FROM prec
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN prec e ON e.src = r.b
+),
+mutual AS MATERIALIZED (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+scc AS MATERIALIZED (
+  SELECT verts.id, LEAST(verts.id, COALESCE(MIN(m.u), verts.id)) AS scc
+  FROM verts LEFT JOIN mutual m ON m.v = verts.id
+  GROUP BY verts.id
+),
+core AS MATERIALIZED (
+  SELECT scc FROM (
+    SELECT scc, COUNT(*) AS n FROM scc GROUP BY scc
+    ORDER BY n DESC, scc ASC LIMIT 1
+  )
+),
+corev AS MATERIALIZED (SELECT id FROM scc WHERE scc = (SELECT scc FROM core)),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT r.b AS id FROM reach r JOIN corev c ON c.id = r.a
+),
+bwd AS MATERIALIZED (
+  SELECT DISTINCT r.a AS id FROM reach r JOIN corev c ON c.id = r.b
+)
+SELECT s.id,
+       CASE WHEN s.scc = (SELECT scc FROM core) THEN 'core'
+            WHEN s.id IN (SELECT id FROM bwd) THEN 'in'
+            WHEN s.id IN (SELECT id FROM fwd) THEN 'out'
+            ELSE 'other' END AS region
+FROM scc s ORDER BY s.id
+"""
+)
+
+
 def q_personalized_pagerank(sf_dir: str):
-    """PPR from the 10 smallest part ids over the co-purchase graph —
-    rows-only (pytest vs a dict-loop oracle)."""
+    """PPR from the 10 smallest part ids over the co-purchase graph.
+    SQL-oracled since r5 (unrolled teleport-weighted power iteration);
+    pytest additionally pins a dict-loop oracle."""
     import ray.data as rd
 
     from ..functions.graph import personalized_pagerank
@@ -1172,8 +1234,111 @@ def q_personalized_pagerank(sf_dir: str):
     sources = g.vids[:10]
     ranks = personalized_pagerank(g, sources, damping=0.85, iterations=10)
     return rd.from_arrow(
-        pa.table({"id": g.vids, "pprank": round_away(ranks, 9)})
+        pa.table({"id": g.vids, "pprank": round_away(ranks, 6)})
     )
+
+
+def _ppr_sql(iterations: int = 10, damping: float = 0.85, n_sources: int = 10) -> str:
+    """Unrolled personalized PageRank: rank₀ = teleport (uniform over the
+    ``n_sources`` smallest vertex ids), each round redistributes the lost
+    (dangling) mass over the teleport vector so Σrank = 1 — mirroring
+    functions/graph/pagerank.py::personalized_pagerank exactly."""
+    parts = [
+        "WITH "
+        + COPUR_CTE.strip()
+        + f""",
+outdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::DOUBLE AS wsum FROM sym GROUP BY src),
+srcs AS MATERIALIZED (SELECT id FROM vertices ORDER BY id LIMIT {n_sources}),
+tp AS MATERIALIZED (
+  SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / {n_sources} ELSE 0.0 END AS tp
+  FROM vertices v LEFT JOIN srcs s ON s.id = v.id
+),
+pr0 AS MATERIALIZED (SELECT id, tp AS rank FROM tp)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+inc{k} AS MATERIALIZED (
+  SELECT e.dst AS id, {damping} * SUM(p.rank / d.wsum) AS inc
+  FROM sym e
+  JOIN pr{k - 1} p ON p.id = e.src
+  JOIN outdeg d ON d.id = e.src
+  GROUP BY e.dst
+),
+pr{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - (SELECT COALESCE(SUM(inc), 0) FROM inc{k})) * t.tp
+         + COALESCE(i.inc, 0) AS rank
+  FROM vertices v
+  JOIN tp t ON t.id = v.id
+  LEFT JOIN inc{k} i ON i.id = v.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(rank, 6) AS pprank FROM pr{iterations} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+PPR_SQL = _ppr_sql(10, 0.85, 10)
+
+
+# Radius-2 snowball ball around the smallest vertex id (the __ray_entry__
+# snowball_sample query): depth-limited BFS, MIN(d) collapses walks.
+SNOWBALL_SQL = (
+    "WITH RECURSIVE "
+    + COPUR_CTE.strip()
+    + """,
+sp(id, d) AS (
+  SELECT (SELECT MIN(id) FROM vertices), 0
+  UNION
+  SELECT e.dst, sp.d + 1 FROM sp JOIN sym e ON e.src = sp.id WHERE sp.d < 2
+)
+SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM sp GROUP BY id ORDER BY id
+"""
+)
+
+
+# Exact Backstrom–Kleinberg dispersion over the precedence graph (the
+# __ray_entry__ dispersion query): common = N(u)∩N(v)\{u,v}; a pair
+# (a, b) ⊆ common counts iff a∉N(b) and no t exists with t~a, t~b, t~u,
+# t≠v (the restricted-neighborhood intersection) — a literal SQL replay
+# of functions/graph/dispersion.py::_dispersion_chunk.
+DISPERSION_SQL = (
+    "WITH "
+    + PREC_CTE.strip()
+    + """,
+e AS MATERIALIZED (SELECT src, dst FROM prec),
+dsym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+common AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v, n1.dst AS c
+  FROM e
+  JOIN dsym n1 ON n1.src = e.src
+  JOIN dsym n2 ON n2.src = e.dst AND n2.dst = n1.dst
+  WHERE n1.dst <> e.dst
+),
+pairs AS MATERIALIZED (
+  SELECT a.u, a.v, a.c AS ca, b.c AS cb
+  FROM common a JOIN common b ON a.u = b.u AND a.v = b.v AND a.c < b.c
+),
+good AS MATERIALIZED (
+  SELECT u, v, COUNT(*)::DOUBLE AS score
+  FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM dsym s WHERE s.src = p.ca AND s.dst = p.cb)
+    AND NOT EXISTS (
+      SELECT 1
+      FROM dsym ta
+      JOIN dsym tb ON tb.dst = ta.dst
+      JOIN dsym tu ON tu.dst = ta.dst
+      WHERE ta.src = p.ca AND tb.src = p.cb AND tu.src = p.u AND ta.dst <> p.v
+    )
+  GROUP BY u, v
+)
+SELECT e.src, e.dst, COALESCE(g.score, 0.0) AS dispersion
+FROM e LEFT JOIN good g ON g.u = e.src AND g.v = e.dst
+ORDER BY e.src, e.dst
+"""
+)
 
 
 def q_effective_diameter(sf_dir: str):
@@ -1398,6 +1563,146 @@ e{k} AS MATERIALIZED (
 
 
 EIGENVECTOR_SQL = _eigenvector_sql(50)
+
+
+# ------------------------------------------- closeness-family centralities
+
+_N_CLOSENESS_SOURCES = 100
+
+# Shared BFS stats CTE: exact per-source (reach incl. self, Σdist) for the
+# 100 smallest vertex ids — walk enumeration bounded at depth 8 (measured
+# copurchase diameter is 3 at sf0.01 / 2 at sf0.001; the bound dominates
+# oracle cost because walks, not distances, are enumerated: depth 40 took
+# 80 s per oracle, depth 8 takes 11 s), MIN(d) collapses walks to
+# distances.
+_BFS_STATS_CTE = (
+    "WITH RECURSIVE "
+    + COPUR_CTE.strip()
+    + f""",
+srcs AS MATERIALIZED (SELECT id FROM vertices ORDER BY id LIMIT {_N_CLOSENESS_SOURCES}),
+sp(s, id, d) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT sp.s, e.dst, sp.d + 1 FROM sp JOIN sym e ON e.src = sp.id WHERE sp.d < 8
+),
+dmin AS MATERIALIZED (SELECT s, id, MIN(d) AS d FROM sp GROUP BY s, id),
+stats AS MATERIALIZED (
+  SELECT s, COUNT(*)::DOUBLE AS r, SUM(d)::DOUBLE AS sumd FROM dmin GROUP BY s
+)"""
+)
+
+
+def _closeness_sources(sf_dir: str):
+    from .copurchase import copurchase_graph
+
+    g = copurchase_graph(sf_dir, symmetric=True)
+    return g, g.vids[:_N_CLOSENESS_SOURCES]
+
+
+def q_closeness(sf_dir: str):
+    """Wasserman–Faust closeness for the 100 smallest part ids over the
+    co-purchase graph (reference menu: GraphComputationOperations.scala:49
+    'Compute centrality' closeness estimate — the estimate samples BFS
+    sources; here the query's source set IS the sample, each exact)."""
+    from ..functions.graph.closeness import closeness_centrality
+
+    g, srcs = _closeness_sources(sf_dir)
+    return closeness_centrality(g, srcs)
+
+
+CLOSENESS_SQL = (
+    _BFS_STATS_CTE
+    + """
+SELECT s AS id,
+       ROUND(CASE WHEN r > 1 AND sumd > 0
+                  THEN (r - 1) * (r - 1) / (sumd * ((SELECT n FROM nv) - 1))
+                  ELSE 0.0 END, 6) AS closeness
+FROM stats ORDER BY s
+"""
+)
+
+
+def q_lin_centrality(sf_dir: str):
+    """Lin's index for the 100 smallest part ids
+    (GraphComputationOperations.scala:101 'Compute centrality' lin)."""
+    from ..functions.graph.closeness import lin_centrality
+
+    g, srcs = _closeness_sources(sf_dir)
+    return lin_centrality(g, srcs)
+
+
+LIN_SQL = (
+    _BFS_STATS_CTE
+    + """
+SELECT s AS id,
+       ROUND(CASE WHEN sumd > 0 THEN r * r / sumd ELSE 1.0 END, 6) AS lin
+FROM stats ORDER BY s
+"""
+)
+
+
+def q_average_distance(sf_dir: str):
+    """Sampled average shortest-path distance (sources = 100 smallest part
+    ids; GraphComputationOperations.scala:108 'Compute centrality' average
+    distance) — one scalar row."""
+    from ..functions.graph.closeness import average_distance
+
+    g, srcs = _closeness_sources(sf_dir)
+    return average_distance(g, srcs)
+
+
+AVG_DISTANCE_SQL = (
+    _BFS_STATS_CTE
+    + """
+SELECT ROUND(CASE WHEN SUM(r - 1) > 0 THEN SUM(sumd) / SUM(r - 1) ELSE 0.0 END, 6)
+       AS avg_distance
+FROM stats
+"""
+)
+
+
+def q_laplacian_centrality(sf_dir: str):
+    """Unweighted Laplacian centrality over the co-purchase graph, every
+    part (GraphComputationOperations.scala:99 'Compute centrality'
+    laplacian) — Dataset-plane: degree aggregate + one hash join +
+    grouped neighbor-degree sum."""
+    from ..functions.graph.closeness import laplacian_centrality
+    from .copurchase import copurchase_symmetric, part_vertices
+
+    vertices = rd.from_arrow(pa.table({"id": part_vertices(sf_dir)}))
+    out = laplacian_centrality(copurchase_symmetric(sf_dir), vertices)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "lap": pa.array(
+                    round_away(
+                        t.column("lap").to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+LAPLACIAN_SQL = (
+    "WITH "
+    + COPUR_CTE.strip()
+    + """,
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::DOUBLE AS d FROM sym GROUP BY src),
+nsum AS MATERIALIZED (
+  SELECT e.src AS id, SUM(dd.d) AS s FROM sym e JOIN deg dd ON dd.id = e.dst GROUP BY e.src
+)
+SELECT v.id,
+       ROUND(COALESCE(dg.d, 0) * COALESCE(dg.d, 0) + COALESCE(dg.d, 0)
+             + 2 * COALESCE(ns.s, 0), 6) AS lap
+FROM vertices v
+LEFT JOIN deg dg ON dg.id = v.id
+LEFT JOIN nsum ns ON ns.id = v.id
+ORDER BY v.id
+"""
+)
 
 
 def q_steiner_tree(sf_dir: str):

@@ -658,3 +658,99 @@ def test_segment_quality_hand_computed():
     assert b["expansion"] == 2.0
     # vol(B) = 2, min(2, 8) = 2 -> conductance 1.0
     assert b["conductance"] == 1.0
+
+
+# ------------------------------------------- closeness-family centralities
+
+
+def _bfs_oracle(adj, s, V):
+    """(reach incl. self, sum of distances) by deque BFS."""
+    dist = {s: 0}
+    dq = deque([s])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return len(dist), sum(dist.values())
+
+
+def _random_graph(seed, V=40, E=160):
+    rng = np.random.default_rng(seed)
+    edges = list(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in zip(rng.integers(0, V, E), rng.integers(0, V, E))
+            if a != b
+        }
+    )
+    # symmetric bundle (undirected semantics), plus isolated vertex V-1
+    sym = edges + [(b, a) for a, b in edges]
+    adj = defaultdict(set)
+    for a, b in sym:
+        adj[a].add(b)
+    return sym, adj
+
+
+def test_closeness_lin_avgdist_vs_bfs_oracle():
+    from lynxkite_ray.functions.graph.closeness import (
+        average_distance,
+        closeness_centrality,
+        lin_centrality,
+    )
+
+    sym, adj = _random_graph(11)
+    g = Graph.from_edges(
+        edges_ds(sym), extra_vertices=np.arange(45, dtype=np.int64)
+    )
+    V = g.num_vertices
+    srcs = g.vids[:20]
+    got_c = {r["id"]: r["closeness"] for r in closeness_centrality(g, srcs).take_all()}
+    got_l = {r["id"]: r["lin"] for r in lin_centrality(g, srcs).take_all()}
+    tot_pairs, tot_d = 0, 0
+    for s in srcs:
+        r, sumd = _bfs_oracle(adj, int(s), V)
+        want_c = (r - 1) ** 2 / (sumd * (V - 1)) if r > 1 and sumd > 0 else 0.0
+        want_l = r * r / sumd if sumd > 0 else 1.0
+        assert abs(got_c[int(s)] - want_c) < 1e-5, s
+        assert abs(got_l[int(s)] - want_l) < 1e-5, s
+        tot_pairs += r - 1
+        tot_d += sumd
+    got_a = average_distance(g, srcs).take_all()[0]["avg_distance"]
+    assert abs(got_a - tot_d / tot_pairs) < 1e-5
+
+
+def test_closeness_isolated_and_pair():
+    from lynxkite_ray.functions.graph.closeness import (
+        closeness_centrality,
+        lin_centrality,
+    )
+
+    # one edge 0-1 (symmetric), isolated vertex 2
+    g = Graph.from_edges(
+        edges_ds([(0, 1), (1, 0)]),
+        extra_vertices=np.array([0, 1, 2], np.int64),
+    )
+    c = {r["id"]: r["closeness"] for r in closeness_centrality(g, g.vids).take_all()}
+    li = {r["id"]: r["lin"] for r in lin_centrality(g, g.vids).take_all()}
+    # 0 and 1: reach 2, sumd 1, n 3 -> (2-1)^2/(1*2) = 0.5
+    assert c[0] == 0.5 and c[1] == 0.5 and c[2] == 0.0
+    # lin: r^2/sumd = 4/1; isolated -> 1
+    assert li[0] == 4.0 and li[1] == 4.0 and li[2] == 1.0
+
+
+def test_laplacian_centrality_formula():
+    from lynxkite_ray.functions.graph.closeness import laplacian_centrality
+
+    sym, adj = _random_graph(7)
+    vertices = rd.from_arrow(pa.table({"id": np.arange(42, dtype=np.int64)}))
+    got = {
+        r["id"]: r["lap"]
+        for r in laplacian_centrality(edges_ds(sym), vertices).take_all()
+    }
+    deg = {v: len(adj[v]) for v in range(42)}
+    for v in range(42):
+        d = deg.get(v, 0)
+        want = d * d + d + 2 * sum(deg[u] for u in adj[v])
+        assert got[v] == want, v
