@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components", "pagerank_converged",
         "closeness_centrality", "lin_centrality", "average_distance",
         "laplacian_centrality", "snowball_sample", "dispersion",
+        "forest_fire_score", "k_path_centrality", "infocom_communities",
         # oracle registered since r3 but never re-sampled with it
         "ann_topk",
         # --- implementation changed in round 5: re-verify ---
@@ -696,11 +697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank", "pagerank_weighted", "connected_components",
         "label_propagation", "degree", "in_degree", "triangle_count",
         "triangles_per_vertex", "neighbor_price_stats",
-        # --- rows-only tail: keep a fresh driver row on record ---
+        # --- rows-only tail: keep a fresh driver row on record (the rest
+        # of the rows-only family has green r4 rows already) ---
         "host_graph_pagerank", "bowtie", "personalized_pagerank",
-        "effective_diameter", "betweenness", "winnowing_fingerprints",
-        "modular_tweaks", "node2vec_embeddings", "gcn_scores",
-        "hypermap_coords", "tsne_embeddings", "louvain",
+        "effective_diameter", "louvain",
     ]
     q = {
         # --- new in round 3 (never driver-checked) ---
@@ -820,6 +820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "laplacian_centrality": ST.q_laplacian_centrality,
         # --- new in round 5, rows-only (pytest-pinned) ---
         "steiner_tree": ST.q_steiner_tree,
+        "forest_fire_score": ST.q_forest_fire,
+        "k_path_centrality": ST.q_k_path,
+        "infocom_communities": SG.q_infocom_communities,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
         "label_propagation": _q_lpa,

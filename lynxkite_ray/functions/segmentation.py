@@ -360,15 +360,31 @@ def set_overlap(
     )
 
 
+def infocom_min_overlap(adjacency_threshold: float):
+    """InfocomOverlapForCC's size-dependent overlap requirement
+    (SetOverlapForCC.scala:146-154): two cliques of sizes a, b are
+    adjacent iff |A ∩ B| ≥ ⌈thr·(a+b)(a²+b²)/(4ab)⌉."""
+    import math
+
+    def fn(a: int, b: int) -> int:
+        return int(
+            math.ceil(adjacency_threshold * (a + b) * (a * a + b * b) / (4 * a * b))
+        )
+
+    return fn
+
+
 def set_overlap_for_cc(
     belongs: Dataset,
-    min_overlap: int = 2,
+    min_overlap=2,
     seg_col: str = "segment",
     member_col: str = "member",
     num_partitions: int | None = None,
 ) -> Dataset:
     """SetOverlapForCC.scala:28-137 (UniformOverlapForCC variant,
-    SetOverlapForCC.scala:141-145): edges between segments with
+    SetOverlapForCC.scala:141-145; pass ``min_overlap=callable(a, b)``
+    such as :func:`infocom_min_overlap` for the InfocomOverlapForCC
+    variant): edges between segments with
     |A ∩ B| ≥ min_overlap, emitting only a CC-PRESERVING SUBSET of the
     justified edges — connected components over the output equal CC over
     the full set_overlap graph, at much less edge output (the guarantee
@@ -386,6 +402,7 @@ def set_overlap_for_cc(
     directions), matching the reference's addEdges."""
     if num_partitions is None:
         num_partitions = default_partitions()
+    overlap_fn = min_overlap if callable(min_overlap) else None
     mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
     m = belongs.select_columns([seg_col, member_col]).map_batches(
         lambda t: t.rename_columns(["seg", "mem"]), **mb
@@ -478,7 +495,12 @@ def set_overlap_for_cc(
                             a = sets[current][1]
                             b = sets[other][1]
                             inter = np.intersect1d(a, b, assume_unique=True)
-                            if len(inter) >= min_overlap:
+                            need = (
+                                overlap_fn(len(a), len(b))
+                                if overlap_fn is not None
+                                else min_overlap
+                            )
+                            if len(inter) >= need:
                                 todo.append(other)
                                 if int(inter[0]) >= vid:
                                     out_src += [sets[current][0], sets[other][0]]
@@ -812,3 +834,69 @@ def segment_quality(
         )
 
     return out.map_batches(finalize, **mb)
+
+
+def infocom_communities(
+    edges: Dataset,
+    min_clique_size: int = 3,
+    adjacency_threshold: float = 0.6,
+) -> Dataset:
+    """Find infocom communities (BuildSegmentationOperations.scala:136-199):
+    maximal cliques → clique-overlap edges with the Infocom size-dependent
+    threshold (InfocomOverlapForCC, SetOverlapForCC.scala:146-154) →
+    connected components over the clique graph → per-vertex community via
+    the concatenated belongsTo.  Overlapping-community model: a vertex in
+    cliques of different components belongs to several communities.
+
+    Output: (member, community) distinct rows; community = min clique id
+    of the clique-graph component."""
+    import ray.data as rd
+
+    from ..stages.partition import broadcast_lookup
+    from .graph import Graph, connected_components
+    from .graph.cliques import find_max_cliques
+
+    belongs = find_max_cliques(edges, min_clique_size).materialize()
+    cedges = set_overlap_for_cc(
+        belongs,
+        min_overlap=infocom_min_overlap(adjacency_threshold),
+        seg_col="clique_id",
+        member_col="member",
+    ).map_batches(
+        # re-type: tiny clique graphs leave empty schema-less blocks behind
+        # the overlap kernel, which Graph.from_edges' block scan rejects
+        lambda t: t.select(["src", "dst"]),
+        batch_format="pyarrow",
+        batch_size=COALESCE_BATCH,
+    ).materialize()
+    clique_ids = np.unique(
+        np.concatenate(
+            [
+                b["clique_id"].to_numpy()
+                for b in belongs.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    if len(clique_ids) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "member": pa.array([], pa.int64()),
+                    "community": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if cedges.count() == 0:
+        # no qualifying clique overlap: every clique is its own community
+        comm = {int(c): int(c) for c in clique_ids}
+    else:
+        g = Graph.from_edges(cedges, extra_vertices=clique_ids)
+        labels = connected_components(g)
+        comm = dict(zip(g.vids.tolist(), np.asarray(labels, np.int64).tolist()))
+    out = broadcast_lookup(belongs, comm, "clique_id", "community")
+    return distinct(
+        out.select_columns(["member", "community"]), ["member", "community"]
+    )

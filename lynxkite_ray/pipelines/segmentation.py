@@ -290,3 +290,17 @@ LEFT JOIN cut c ON c.segment = s.segment
 LEFT JOIN maxdeg d ON d.segment = s.segment
 ORDER BY s.segment
 """
+
+
+def q_infocom_communities(sf_dir: str):
+    """Find infocom communities over the precedence graph
+    (BuildSegmentationOperations.scala:136-199: max cliques → Infocom
+    clique-overlap edges → CC → vertex-to-community) — rows-only
+    (clique enumeration is not SQL-expressible; pytest pins planted
+    overlapping/disjoint clique structure)."""
+    from ..functions.segmentation import infocom_communities
+    from .structure import precedence_edges
+
+    return infocom_communities(
+        precedence_edges(sf_dir), min_clique_size=3, adjacency_threshold=0.6
+    )

@@ -1825,3 +1825,25 @@ def q_betweenness(sf_dir: str):
     from .copurchase import copurchase_edges
 
     return betweenness(copurchase_edges(sf_dir), k_samples=64, seed=7)
+
+
+def q_forest_fire(sf_dir: str):
+    """Forest-fire edge scores over the precedence graph
+    (EdgeAttributeOperations.scala:222; NetworKit ForestFireScore) —
+    rows-only: randomized simulation, pinned deterministic by per-fire
+    seeding; pytest pins determinism + range + burn coverage."""
+    from ..functions.graph.forestfire import forest_fire_score
+
+    return forest_fire_score(
+        precedence_edges(sf_dir), spread_prob=0.5, burn_ratio=2.0, seed=42
+    )
+
+
+def q_k_path(sf_dir: str):
+    """K-Path centrality over the precedence graph
+    (GraphComputationOperations.scala:100; NetworKit KPathCentrality) —
+    rows-only: randomized walk estimate, pinned deterministic by per-walk
+    seeding; pytest pins determinism + a hub-vs-leaf ordering oracle."""
+    from ..functions.graph.forestfire import k_path_centrality
+
+    return k_path_centrality(precedence_edges(sf_dir), k=5, walks=20_000, seed=42)

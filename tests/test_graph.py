@@ -1114,3 +1114,76 @@ def test_steiner_tree_planted_and_bruteforce():
             assert abs(total - best) < 1e-9, (trial, total, best)
         except ValueError:
             assert best is None  # disconnected terminals must raise
+
+
+# --------------------------------- forest fire / k-path / infocom (round 5)
+
+
+def test_forest_fire_deterministic_range_coverage():
+    from lynxkite_ray.functions.graph.forestfire import forest_fire_score
+
+    rng = np.random.default_rng(3)
+    edges = list(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in zip(rng.integers(0, 30, 120), rng.integers(0, 30, 120))
+            if a != b
+        }
+    )
+    a = forest_fire_score(edges_ds(edges), spread_prob=0.5, burn_ratio=2.0, seed=7)
+    b = forest_fire_score(edges_ds(edges), spread_prob=0.5, burn_ratio=2.0, seed=7)
+    ta = {(r["src"], r["dst"]): r["forest_fire_score"] for r in a.take_all()}
+    tb = {(r["src"], r["dst"]): r["forest_fire_score"] for r in b.take_all()}
+    assert ta == tb  # per-fire seeding: identical across runs
+    assert set(ta) == set(edges)  # every canonical edge scored
+    vals = np.array(list(ta.values()))
+    assert vals.min() >= 0.0 and vals.max() == 1.0
+    # burn_ratio=2 forces ~2|E| burns: most edges burn at least once
+    assert (vals > 0).mean() > 0.5
+
+
+def test_k_path_hub_vs_leaf_and_determinism():
+    from lynxkite_ray.functions.graph.forestfire import k_path_centrality
+
+    # star: hub 0 with 12 leaves, plus a pendant path 12-13 off one leaf
+    edges = [(0, i) for i in range(1, 13)] + [(12, 13)]
+    a = k_path_centrality(edges_ds(edges), k=4, walks=8000, seed=5)
+    b = k_path_centrality(edges_ds(edges), k=4, walks=8000, seed=5)
+    ka = {r["id"]: r["kpath"] for r in a.take_all()}
+    kb = {r["id"]: r["kpath"] for r in b.take_all()}
+    assert ka == kb
+    # the hub is on nearly every walk; a leaf is not
+    assert ka[0] > 3 * ka[1]
+    assert all(v >= 0 for v in ka.values())
+
+
+def test_infocom_communities_planted():
+    from lynxkite_ray.functions.segmentation import infocom_communities
+
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    # two cliques sharing 3 of 4 members -> one community;
+    # a disjoint clique far away -> its own community
+    edges = clique([0, 1, 2, 3]) + clique([1, 2, 3, 4]) + clique([10, 11, 12])
+    out = infocom_communities(edges_ds(edges), min_clique_size=3,
+                              adjacency_threshold=0.6)
+    comm = {}
+    for r in out.take_all():
+        comm.setdefault(r["community"], set()).add(r["member"])
+    groups = sorted(comm.values(), key=lambda s: min(s))
+    assert {0, 1, 2, 3, 4} in groups
+    assert {10, 11, 12} in groups
+    assert len(groups) == 2
+
+    # overlap 1 of {3,4}-cliques: infocom needs ceil(.6*7*25/48)=3 -> split
+    edges2 = clique([0, 1, 2]) + clique([2, 5, 6, 7])
+    out2 = infocom_communities(edges_ds(edges2), min_clique_size=3,
+                               adjacency_threshold=0.6)
+    comm2 = {}
+    for r in out2.take_all():
+        comm2.setdefault(r["community"], set()).add(r["member"])
+    assert sorted(comm2.values(), key=lambda s: min(s)) == [
+        {0, 1, 2},
+        {2, 5, 6, 7},
+    ]
