@@ -681,7 +681,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components", "pagerank_converged",
         "closeness_centrality", "lin_centrality", "average_distance",
         "laplacian_centrality", "snowball_sample", "dispersion",
+        "bowtie", "personalized_pagerank",
         "forest_fire_score", "k_path_centrality", "infocom_communities",
+        "segment_stability", "segment_fragmentation", "segmentation_scalars",
+        "language_id",
         # oracle registered since r3 but never re-sampled with it
         "ann_topk",
         # --- implementation changed in round 5: re-verify ---
@@ -699,8 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex", "neighbor_price_stats",
         # --- rows-only tail: keep a fresh driver row on record (the rest
         # of the rows-only family has green r4 rows already) ---
-        "host_graph_pagerank", "bowtie", "personalized_pagerank",
-        "effective_diameter", "louvain",
+        "host_graph_pagerank", "effective_diameter", "louvain",
     ]
     q = {
         # --- new in round 3 (never driver-checked) ---
@@ -818,6 +820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lin_centrality": ST.q_lin_centrality,
         "average_distance": ST.q_average_distance,
         "laplacian_centrality": ST.q_laplacian_centrality,
+        "segment_stability": SG.q_segment_stability,
+        "segment_fragmentation": SG.q_segment_fragmentation,
+        "segmentation_scalars": SG.q_segmentation_scalars,
         # --- new in round 5, rows-only (pytest-pinned) ---
         "steiner_tree": ST.q_steiner_tree,
         "forest_fire_score": ST.q_forest_fire,
@@ -976,12 +981,16 @@ def oracle_sql() -> dict[str, str]:
         "lin_centrality": ST.LIN_SQL,
         "average_distance": ST.AVG_DISTANCE_SQL,
         "laplacian_centrality": ST.LAPLACIAN_SQL,
+        "segment_stability": SG.SEGMENT_STABILITY_SQL,
+        "segment_fragmentation": SG.SEGMENT_FRAGMENTATION_SQL,
+        "segmentation_scalars": SG.SEGMENTATION_SCALARS_SQL,
         "personalized_pagerank": ST.PPR_SQL,
         "bowtie": ST.BOWTIE_SQL,
         "snowball_sample": ST.SNOWBALL_SQL,
         "dispersion": ST.DISPERSION_SQL,
         "approx_quantiles": R.APPROX_QUANTILES_SQL,
         "grouped_approx_quantiles": R.GROUPED_APPROX_QUANTILES_SQL,
+        "language_id": TX.LANGUAGE_ID_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

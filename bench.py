@@ -308,8 +308,12 @@ def run_scaling() -> dict:
     # interleave widths (hi, lo, hi, lo, ...) so host-window drift — the
     # slow phases last minutes — samples both widths instead of landing
     # entirely on whichever width happens to run second
+    # 3 draws per width (r5): two draws leave the min estimator one bad
+    # window away from a 0.07 efficiency swing — observed 0.856 (r4) vs
+    # 0.773/0.785 (r5) for the identical binary purely from which width
+    # caught the host's fast phase
     lo_runs, hi_runs = [], []
-    for _ in range(2):
+    for _ in range(3):
         hi_runs.append(run(hi))
         lo_runs.append(run(lo))
     r_lo = min(lo_runs, key=lambda r: r["value"])

@@ -48,6 +48,49 @@ def _pr_contrib(shard: pa.Table, rank: np.ndarray, inv_wdeg: np.ndarray, damping
     return lo, np.bincount(di - lo, weights=contrib, minlength=hi - lo)
 
 
+@ray.remote
+def _pr_contrib_group(rank: np.ndarray, inv_wdeg: np.ndarray, damping: float, *shards):
+    """Gather-scatter over a GROUP of adjacent dst-range shards, combined
+    in shard order inside the task — float-identical to the driver adding
+    each shard's slice in the same order, but one task submission + one
+    returned slice per group instead of per shard.  Cuts the driver's
+    per-iteration serial fraction (submission + result handling), which is
+    what bounds low-width scaling (BASELINE.md §3 r5: submission ≈ 40 ms
+    of a 107 ms iteration at 8 CPUs before grouping)."""
+    parts = []
+    for shard in shards:
+        si = shard.column("si").to_numpy()
+        di = shard.column("di").to_numpy()
+        w = shard.column("w").to_numpy()
+        if len(di) == 0:
+            continue
+        lo = int(di.min())
+        hi = int(di.max()) + 1
+        contrib = damping * rank[si] * inv_wdeg[si] * w
+        parts.append((lo, np.bincount(di - lo, weights=contrib, minlength=hi - lo)))
+    if not parts:
+        return 0, np.zeros(0)
+    glo = min(lo for lo, _ in parts)
+    ghi = max(lo + len(v) for lo, v in parts)
+    out = np.zeros(ghi - glo, dtype=np.float64)
+    for lo, v in parts:
+        out[lo - glo : lo - glo + len(v)] += v
+    return glo, out
+
+
+def _shard_groups(shard_refs) -> list:
+    """Adjacent shards grouped so an iteration submits ~4 tasks per CPU
+    (enough slack for balance; far fewer than one task per 200k-row
+    shard).  Grouping is a pure scheduling change: shard processing order
+    inside a group and group order at the driver both preserve the
+    original shard order, so the float result is bit-identical."""
+    n = len(shard_refs)
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    target = max(1, 4 * cpus)
+    g = max(1, (n + target - 1) // target)
+    return [shard_refs[i : i + g] for i in range(0, n, g)]
+
+
 def pagerank(
     graph: Graph,
     damping: float = 0.85,
@@ -94,12 +137,16 @@ def pagerank(
             if m.get("metrics", {}).get("converged"):
                 return rank
 
+    groups = _shard_groups(graph.shard_refs)
+    # residual costs two extra O(V) passes per iteration; it only matters
+    # for the tol early-stop and the checkpoint manifest
+    need_residual = tol > 0 or ckpt is not None
     with paused_gc():
         for it in range(start_iter, iterations):
             rank_ref = ray.put(rank)
             futures = [
-                _pr_contrib.remote(s, rank_ref, inv_ref, damping, V)
-                for s in graph.shard_refs
+                _pr_contrib_group.remote(rank_ref, inv_ref, damping, *grp)
+                for grp in groups
             ]
             incoming = np.zeros(V, dtype=np.float64)
             for lo, vec in ray.get(futures):
@@ -108,7 +155,9 @@ def pagerank(
                 incoming[lo : lo + len(vec)] += vec
             total_incoming = float(incoming.sum())
             new_rank = (V - total_incoming) / V + incoming
-            residual = float(np.max(np.abs(new_rank - rank))) if V else 0.0
+            residual = (
+                float(np.max(np.abs(new_rank - rank))) if need_residual and V else 0.0
+            )
             rank = new_rank
             converged = tol > 0 and residual < tol
             if ckpt is not None:

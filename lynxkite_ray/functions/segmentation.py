@@ -900,3 +900,296 @@ def infocom_communities(
     return distinct(
         out.select_columns(["member", "community"]), ["member", "community"]
     )
+
+
+def segment_stability(
+    edges: Dataset, belongs: Dataset, num_partitions: int | None = None
+) -> Dataset:
+    """Per-segment stability (SegmentationAttributeOperations.scala:62-65;
+    NetworKit StablePartitionNodes): a member is *stable* iff it has at
+    least as many neighbors inside its own segment as inside any other
+    single segment (members with no neighbors are stable); stability =
+    stable members / segment size.
+
+    Output: (segment, size, stable_nodes, stability).
+
+    Scale shape: endpoint labeling via two hash joins (belongsTo never
+    broadcast), per-(vertex, neighbor-segment) counts, one grouped
+    max/compare per vertex, one grouped count per segment."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    b_src = belongs.map_batches(lambda t: t.rename_columns(["src", "b_src"]), **mb)
+    b_dst = belongs.map_batches(lambda t: t.rename_columns(["dst", "b_dst"]), **mb)
+    le = (
+        edges.select_columns(["src", "dst"])
+        .join(b_src, join_type="inner", num_partitions=num_partitions, on=("src",))
+        .join(b_dst, join_type="inner", num_partitions=num_partitions, on=("dst",))
+    )
+
+    # symmetric neighbor view: (u, own segment, neighbor segment)
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.chunked_array([*t["src"].chunks, *t["dst"].chunks]),
+                "own": pa.chunked_array([*t["b_src"].chunks, *t["b_dst"].chunks]),
+                "nseg": pa.chunked_array([*t["b_dst"].chunks, *t["b_src"].chunks]),
+                "one": pa.array(np.ones(2 * t.num_rows, np.int64)),
+            }
+        )
+
+    per = grouped_aggregate(
+        le.map_batches(both_dirs, **mb),
+        ["u", "own", "nseg"],
+        [("one", "sum", "c")],
+        num_partitions,
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        same = pc.equal(t["own"], t["nseg"])
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        s = same.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": t["u"],
+                "segment": t["own"],
+                "own_c": pa.array(np.where(s, c, 0), pa.int64()),
+                "other_c": pa.array(np.where(s, 0, c), pa.int64()),
+            }
+        )
+
+    pv = grouped_aggregate(
+        per.map_batches(split, **mb),
+        ["u", "segment"],
+        [("own_c", "max", "own"), ("other_c", "max", "othermax")],
+        num_partitions,
+    )
+
+    def unstable_cols(t: pa.Table) -> pa.Table:
+        own = t.column("own").to_numpy(zero_copy_only=False)
+        om = t.column("othermax").to_numpy(zero_copy_only=False)
+        bad = own < om
+        return pa.table(
+            {
+                "segment": t.column("segment").filter(pa.array(bad)),
+                "one": pa.array(np.ones(int(bad.sum()), np.int64)),
+            }
+        )
+
+    unstable = grouped_aggregate(
+        pv.map_batches(unstable_cols, **mb),
+        ["segment"],
+        [("one", "sum", "unstable")],
+        num_partitions,
+    )
+    sizes = grouped_aggregate(
+        belongs.map_batches(
+            lambda t: pa.table(
+                {
+                    "segment": t.column(t.schema.names[1]),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            **mb,
+        ),
+        ["segment"],
+        [("one", "sum", "size")],
+        num_partitions,
+    )
+    bschema = belongs.schema().base_schema
+    seg_ty = bschema.field(bschema.names[1]).type
+
+    def _guard(expected):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({n: pa.array([], type=ty) for n, ty in expected})
+            return t.select([n for n, _ in expected])
+
+        return fn
+
+    joined = sizes.join(
+        unstable, join_type="left_outer", num_partitions=num_partitions,
+        on=("segment",),
+    ).map_batches(
+        _guard(
+            [("segment", seg_ty), ("size", pa.int64()), ("unstable", pa.int64())]
+        ),
+        **mb,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from ..util import round_away
+
+        size = t.column("size").to_numpy(zero_copy_only=False).astype(np.float64)
+        uns = t.column("unstable").to_numpy(zero_copy_only=False)
+        uns = np.where(np.isnan(uns.astype(np.float64)), 0, uns).astype(np.float64)
+        stable = size - uns
+        return pa.table(
+            {
+                "segment": t["segment"],
+                "size": pa.array(size.astype(np.int64)),
+                "stable_nodes": pa.array(stable.astype(np.int64)),
+                "stability": pa.array(round_away(stable / size, 6)),
+            }
+        )
+
+    return joined.map_batches(finalize, **mb)
+
+
+def segment_fragmentation(
+    edges: Dataset, belongs: Dataset, num_partitions: int | None = None
+) -> Dataset:
+    """Per-segment fragmentation (SegmentationAttributeOperations.scala:86;
+    NetworKit PartitionFragmentation): 1 − (largest connected component of
+    the segment's induced subgraph) / segment size.
+
+    Output: (segment, size, largest_component, fragmentation).
+
+    Scale shape: intra-segment edge filter (two hash joins), ONE global
+    connected-components run over the union of induced subgraphs (intra
+    edges never cross segments, so components stay inside segments), then
+    grouped max by segment."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+
+    from .graph import Graph, connected_components
+
+    b_src = belongs.map_batches(lambda t: t.rename_columns(["src", "b_src"]), **mb)
+    b_dst = belongs.map_batches(lambda t: t.rename_columns(["dst", "b_dst"]), **mb)
+    le = (
+        edges.select_columns(["src", "dst"])
+        .join(b_src, join_type="inner", num_partitions=num_partitions, on=("src",))
+        .join(b_dst, join_type="inner", num_partitions=num_partitions, on=("dst",))
+    )
+    intra = le.map_batches(
+        lambda t: t.filter(pc.equal(t["b_src"], t["b_dst"])).select(["src", "dst"]),
+        **mb,
+    ).materialize()
+    member_ids = np.unique(
+        np.concatenate(
+            [
+                b[belongs.schema().names[0]].to_numpy()
+                for b in belongs.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    if intra.count() == 0:
+        comp_tbl = pa.table({"id": member_ids, "comp": member_ids})
+    else:
+        g = Graph.from_edges(intra, extra_vertices=member_ids)
+        labels = connected_components(g)
+        comp_tbl = pa.table({"id": g.vids, "comp": np.asarray(labels, np.int64)})
+    import ray.data as rd
+
+    comps = rd.from_arrow(comp_tbl)
+    bl = belongs.map_batches(lambda t: t.rename_columns(["id", "segment"]), **mb)
+    j = bl.join(comps, join_type="inner", num_partitions=num_partitions, on=("id",))
+    percomp = grouped_aggregate(
+        j.map_batches(
+            lambda t: pa.table(
+                {
+                    "segment": t["segment"],
+                    "comp": t["comp"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            **mb,
+        ),
+        ["segment", "comp"],
+        [("one", "sum", "n")],
+        num_partitions,
+    )
+    largest = grouped_aggregate(
+        percomp.select_columns(["segment", "n"]),
+        ["segment"],
+        [("n", "max", "largest_component")],
+        num_partitions,
+    )
+    sizes = grouped_aggregate(
+        bl.map_batches(
+            lambda t: pa.table(
+                {
+                    "segment": t["segment"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            **mb,
+        ),
+        ["segment"],
+        [("one", "sum", "size")],
+        num_partitions,
+    )
+    joined = sizes.join(
+        largest, join_type="inner", num_partitions=num_partitions, on=("segment",)
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from ..util import round_away
+
+        size = t.column("size").to_numpy(zero_copy_only=False).astype(np.float64)
+        big = (
+            t.column("largest_component")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                "segment": t["segment"],
+                "size": pa.array(size.astype(np.int64)),
+                "largest_component": pa.array(big.astype(np.int64)),
+                "fragmentation": pa.array(round_away(1.0 - big / size, 6)),
+            }
+        )
+
+    return joined.map_batches(finalize, **mb)
+
+
+def segmentation_scalars(
+    edges: Dataset, belongs: Dataset, num_partitions: int | None = None
+) -> Dataset:
+    """Whole-segmentation scalars (SegmentationAttributeOperations.scala:
+    92-103; NetworKit Coverage / EdgeCut): coverage = intra-segment edges
+    / all edges, edge_cut = number of inter-segment edges (unweighted,
+    each undirected edge once).  One row."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    mb = dict(batch_format="pyarrow", batch_size=COALESCE_BATCH)
+    b_src = belongs.map_batches(lambda t: t.rename_columns(["src", "b_src"]), **mb)
+    b_dst = belongs.map_batches(lambda t: t.rename_columns(["dst", "b_dst"]), **mb)
+    le = (
+        edges.select_columns(["src", "dst"])
+        .join(b_src, join_type="inner", num_partitions=num_partitions, on=("src",))
+        .join(b_dst, join_type="inner", num_partitions=num_partitions, on=("dst",))
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        same = pc.equal(t["b_src"], t["b_dst"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "intra": pa.array(same.astype(np.int64)),
+                "inter": pa.array((~same).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = le.map_batches(flags, **mb).aggregate(Sum("intra"), Sum("inter"))
+    import ray.data as rd
+
+    from ..util import round_away
+
+    m = edges.count()
+    intra = int(agg["sum(intra)"] or 0)
+    inter = int(agg["sum(inter)"] or 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "coverage": round_away(np.array([intra / m if m else 0.0]), 6),
+                "edge_cut": pa.array([inter], pa.int64()),
+            }
+        )
+    )

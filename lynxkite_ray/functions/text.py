@@ -106,8 +106,11 @@ def quality_scores(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Da
 def language_id(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Stopword-vote language classifier (n-gram-free heuristic: score each
     language by its stopword hits; tie/none → 'und'). Deterministic.
-    Validated in unit tests on crafted sentences; on the synthetic corpus
-    it is a rows-only query (no SQL oracle)."""
+    SQL-oracled since r5 (the vote is one unnest + stopword join + window
+    pick in DuckDB, textops.LANGUAGE_ID_SQL); unit tests additionally pin
+    crafted sentences."""
+    from ..util import round_away
+
     langs = sorted(_LANG_STOPWORDS)
     tables = {k: _LANG_STOPWORDS[k] for k in langs}
 
@@ -129,7 +132,7 @@ def language_id(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Datas
                 conf[i] = 0.0
             else:
                 out.append(best_k)
-                conf[i] = round(best_n / len(toks), 6)
+                conf[i] = round_away(best_n / len(toks), 6)
         return pa.table(
             {
                 id_col: t.column(id_col),

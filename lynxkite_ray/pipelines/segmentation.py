@@ -304,3 +304,130 @@ def q_infocom_communities(sf_dir: str):
     return infocom_communities(
         precedence_edges(sf_dir), min_clique_size=3, adjacency_threshold=0.6
     )
+
+
+def q_segment_stability(sf_dir: str):
+    """Per-brand stability (SegmentationAttributeOperations.scala:62-65;
+    NetworKit StablePartitionNodes) of the brand segmentation over the
+    co-purchase graph."""
+    from ..functions.segmentation import segment_stability
+    from .copurchase import copurchase_edges
+
+    return segment_stability(copurchase_edges(sf_dir), _brand_belongs(sf_dir))
+
+
+SEGMENT_STABILITY_SQL = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+labeled AS MATERIALIZED (
+  SELECT e.src, e.dst, pa.p_brand AS b_src, pb.p_brand AS b_dst
+  FROM edges e
+  JOIN part pa ON pa.p_partkey = e.src
+  JOIN part pb ON pb.p_partkey = e.dst
+),
+nbr AS MATERIALIZED (
+  SELECT u, own, nseg, COUNT(*)::BIGINT AS c FROM (
+    SELECT src AS u, b_src AS own, b_dst AS nseg FROM labeled
+    UNION ALL
+    SELECT dst AS u, b_dst AS own, b_src AS nseg FROM labeled
+  ) GROUP BY 1, 2, 3
+),
+pv AS MATERIALIZED (
+  SELECT u, own AS segment,
+         MAX(CASE WHEN own = nseg THEN c ELSE 0 END) AS own_c,
+         MAX(CASE WHEN own <> nseg THEN c ELSE 0 END) AS other_max
+  FROM nbr GROUP BY u, own
+),
+unstable AS MATERIALIZED (
+  SELECT segment, COUNT(*)::BIGINT AS unstable
+  FROM pv WHERE own_c < other_max GROUP BY segment
+),
+sizes AS MATERIALIZED (
+  SELECT p_brand AS segment, COUNT(*)::BIGINT AS size FROM part GROUP BY 1
+)
+SELECT s.segment, s.size,
+       (s.size - COALESCE(u.unstable, 0))::BIGINT AS stable_nodes,
+       ROUND((s.size - COALESCE(u.unstable, 0))::DOUBLE / s.size, 6) AS stability
+FROM sizes s LEFT JOIN unstable u ON u.segment = s.segment
+ORDER BY s.segment
+"""
+
+
+def q_segment_fragmentation(sf_dir: str):
+    """Per-brand fragmentation (SegmentationAttributeOperations.scala:86;
+    NetworKit PartitionFragmentation): 1 − largest intra-brand component /
+    brand size."""
+    from ..functions.segmentation import segment_fragmentation
+    from .copurchase import copurchase_edges
+
+    return segment_fragmentation(copurchase_edges(sf_dir), _brand_belongs(sf_dir))
+
+
+SEGMENT_FRAGMENTATION_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+labeled AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN part pa ON pa.p_partkey = e.src
+  JOIN part pb ON pb.p_partkey = e.dst
+  WHERE pa.p_brand = pb.p_brand
+),
+isym AS (SELECT src, dst FROM labeled UNION SELECT dst, src FROM labeled),
+reach(id, label) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN isym e ON e.src = r.id
+  WHERE r.label < e.dst
+),
+comp AS (SELECT id, MIN(label) AS comp FROM reach GROUP BY id),
+percomp AS (
+  SELECT p.p_brand AS segment, c.comp, COUNT(*)::BIGINT AS n
+  FROM comp c JOIN part p ON p.p_partkey = c.id
+  GROUP BY 1, 2
+),
+largest AS (
+  SELECT segment, MAX(n)::BIGINT AS largest_component FROM percomp GROUP BY segment
+),
+sizes AS (
+  SELECT p_brand AS segment, COUNT(*)::BIGINT AS size FROM part GROUP BY 1
+)
+SELECT s.segment, s.size, l.largest_component,
+       ROUND(1.0 - l.largest_component::DOUBLE / s.size, 6) AS fragmentation
+FROM sizes s JOIN largest l ON l.segment = s.segment
+ORDER BY s.segment
+"""
+
+
+def q_segmentation_scalars(sf_dir: str):
+    """Whole-segmentation coverage + edge cut of the brand segmentation
+    (SegmentationAttributeOperations.scala:92-103; NetworKit Coverage /
+    EdgeCut) — one row."""
+    from ..functions.segmentation import segmentation_scalars
+    from .copurchase import copurchase_edges
+
+    return segmentation_scalars(copurchase_edges(sf_dir), _brand_belongs(sf_dir))
+
+
+SEGMENTATION_SCALARS_SQL = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+flags AS MATERIALIZED (
+  SELECT CASE WHEN pa.p_brand = pb.p_brand THEN 1 ELSE 0 END AS intra
+  FROM edges e
+  JOIN part pa ON pa.p_partkey = e.src
+  JOIN part pb ON pb.p_partkey = e.dst
+)
+SELECT ROUND(SUM(intra)::DOUBLE / COUNT(*), 6) AS coverage,
+       (COUNT(*) - SUM(intra))::BIGINT AS edge_cut
+FROM flags
+"""

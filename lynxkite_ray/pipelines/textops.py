@@ -524,3 +524,49 @@ WITH toks AS (
 SELECT shard, COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM sharded GROUP BY shard
 """
+
+
+def _language_id_sql() -> str:
+    """Literal SQL replay of functions.text.language_id: whitespace
+    tokens, per-language stopword-occurrence counts, best = (count,
+    lang) max with lexicographically-largest tie-break, 'und' when the
+    best count is 0 or tied with the runner-up."""
+    from ..functions.text import _LANG_STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_STOPWORDS)
+        for w in sorted(_LANG_STOPWORDS[lang])
+    )
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+nt AS MATERIALIZED (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM toks GROUP BY doc_id),
+stop(lang, w) AS (VALUES {rows}),
+hits AS MATERIALIZED (
+  SELECT t.doc_id, s.lang, COUNT(*)::BIGINT AS c
+  FROM toks t JOIN stop s ON s.w = t.w GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, lang, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lang DESC) AS rn
+  FROM hits
+),
+b1 AS MATERIALIZED (SELECT doc_id, lang, c FROM ranked WHERE rn = 1),
+b2 AS MATERIALIZED (SELECT doc_id, MAX(c) AS c2 FROM ranked WHERE rn > 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN b1.c IS NULL OR b1.c = 0 OR b1.c = COALESCE(b2.c2, 0)
+            THEN 'und' ELSE b1.lang END AS lang_pred,
+       CASE WHEN b1.c IS NULL OR b1.c = 0 OR b1.c = COALESCE(b2.c2, 0)
+            THEN 0.0 ELSE ROUND(b1.c / nt.n, 6) END AS lang_conf
+FROM documents d
+LEFT JOIN b1 ON b1.doc_id = d.doc_id
+LEFT JOIN b2 ON b2.doc_id = d.doc_id
+LEFT JOIN nt ON nt.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+LANGUAGE_ID_SQL = _language_id_sql()

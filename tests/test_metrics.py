@@ -754,3 +754,51 @@ def test_laplacian_centrality_formula():
         d = deg.get(v, 0)
         want = d * d + d + 2 * sum(deg[u] for u in adj[v])
         assert got[v] == want, v
+
+
+def test_segment_stability_fragmentation_scalars():
+    from lynxkite_ray.functions.segmentation import (
+        segment_fragmentation,
+        segment_stability,
+        segmentation_scalars,
+    )
+
+    # segment A = {0,1,2,3}: triangle 0-1-2 plus isolated-in-A vertex 3
+    #   (3's only edge goes to B) ; segment B = {4,5}: edge 4-5, plus 3-4 cut
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5)]
+    belongs = [(0, "A"), (1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")]
+    e = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([a for a, _ in edges], np.int64),
+                "dst": np.array([b for _, b in edges], np.int64),
+            }
+        )
+    )
+    b = rd.from_arrow(
+        pa.table(
+            {
+                "id": np.array([i for i, _ in belongs], np.int64),
+                "segment": pa.array([s for _, s in belongs], pa.string()),
+            }
+        )
+    )
+
+    st = {r["segment"]: r for r in segment_stability(e, b).take_all()}
+    # A: 0,1,2 have 2 internal, 0 external -> stable; 3 has 0 own vs 1 in B
+    #   -> unstable. stability = 3/4
+    assert st["A"]["size"] == 4 and st["A"]["stable_nodes"] == 3
+    assert st["A"]["stability"] == 0.75
+    # B: 4 has 1 own vs 1 in A -> ties count as stable; 5 has 1 own only
+    assert st["B"]["size"] == 2 and st["B"]["stable_nodes"] == 2
+    assert st["B"]["stability"] == 1.0
+
+    fr = {r["segment"]: r for r in segment_fragmentation(e, b).take_all()}
+    # A: components {0,1,2} and {3} -> largest 3, frag 1 - 3/4
+    assert fr["A"]["largest_component"] == 3 and fr["A"]["fragmentation"] == 0.25
+    # B: {4,5} connected -> frag 0
+    assert fr["B"]["largest_component"] == 2 and fr["B"]["fragmentation"] == 0.0
+
+    sc = segmentation_scalars(e, b).take_all()[0]
+    # intra: 0-1,1-2,0-2,4-5 = 4 of 5; cut: 3-4
+    assert sc["coverage"] == 0.8 and sc["edge_cut"] == 1
