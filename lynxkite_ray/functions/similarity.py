@@ -54,21 +54,26 @@ class _BlockTopK:
         V = _vecs_np(t.column(self.vec_col))
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         S = self.Qn @ Vn.T  # (q, block)
-        # exclude self-matches
+        if S.shape[0] == 0 or S.shape[1] == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"query_id": e, "neighbor_id": e, "cos": np.empty(0)})
+        # exclude self-matches, then one axis-wise argpartition for the
+        # whole (q, block) matrix — no per-query Python loop (same
+        # introselect per row as the per-row call, so the selected
+        # candidate set is identical)
+        S[self.qid[:, None] == ids[None, :]] = -np.inf
         k = min(self.k, S.shape[1])
-        out_q, out_v, out_s = [], [], []
-        for qi in range(S.shape[0]):
-            row = S[qi].copy()
-            row[ids == self.qid[qi]] = -np.inf
-            top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
-            out_q.append(np.full(len(top), self.qid[qi], dtype=np.int64))
-            out_v.append(ids[top])
-            out_s.append(row[top])
+        if k < S.shape[1]:
+            top = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        else:
+            top = np.broadcast_to(
+                np.arange(S.shape[1]), (S.shape[0], S.shape[1])
+            ).copy()
         return pa.table(
             {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_v),
-                "cos": np.concatenate(out_s),
+                "query_id": np.repeat(self.qid, top.shape[1]),
+                "neighbor_id": ids[top.ravel()],
+                "cos": np.take_along_axis(S, top, axis=1).ravel(),
             }
         )
 
