@@ -684,7 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie", "personalized_pagerank",
         "forest_fire_score", "k_path_centrality", "infocom_communities",
         "segment_stability", "segment_fragmentation", "segmentation_scalars",
-        "language_id",
+        "language_id",  # simhash is in the re-verify section below
         # oracle registered since r3 but never re-sampled with it
         "ann_topk",
         # --- implementation changed in round 5: re-verify ---
@@ -991,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles": R.APPROX_QUANTILES_SQL,
         "grouped_approx_quantiles": R.GROUPED_APPROX_QUANTILES_SQL,
         "language_id": TX.LANGUAGE_ID_SQL,
+        "simhash": TX.SIMHASH_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

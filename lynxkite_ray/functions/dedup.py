@@ -670,6 +670,23 @@ def verify_pairs_jaccard(
 # ----------------------------------------------------------------- simhash
 
 
+def _md5_lower64(values) -> np.ndarray:
+    """DuckDB md5_number_lower() replica: the LAST 8 bytes of the md5
+    digest, little-endian — the token-hash both the engine and the SQL
+    oracle feed into the simhash vote (blake2 is not available in SQL)."""
+    import hashlib
+
+    frm = int.from_bytes
+    return np.fromiter(
+        (
+            frm(hashlib.md5(v.encode("utf-8", "surrogatepass")).digest()[8:], "little")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
 def simhash_batch(texts: list[str]) -> np.ndarray:
     out = np.empty(len(texts), dtype=np.uint64)
     bit_idx = np.arange(64, dtype=np.uint64)
@@ -679,7 +696,7 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
             out[i] = 0
             continue
         uniq, cnt = np.unique(toks, return_counts=True)
-        hs = hash64_array(list(uniq)).astype(np.uint64)
+        hs = _md5_lower64(list(uniq))
         bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.float64)
         votes = ((bits * 2 - 1) * cnt[:, None]).sum(axis=0)
         bitsel = (votes > 0).astype(np.uint64)

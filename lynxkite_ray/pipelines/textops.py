@@ -570,3 +570,32 @@ ORDER BY d.doc_id
 
 
 LANGUAGE_ID_SQL = _language_id_sql()
+
+
+SIMHASH_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tc AS MATERIALIZED (
+  SELECT doc_id, md5_number_lower(w) AS h, COUNT(*)::BIGINT AS cnt
+  FROM toks GROUP BY doc_id, w
+),
+bits AS MATERIALIZED (SELECT unnest(range(64)) AS b),
+votes AS MATERIALIZED (
+  SELECT doc_id, b,
+         SUM(cnt * (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+  FROM tc CROSS JOIN bits GROUP BY doc_id, b
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN
+             CASE WHEN b = 63 THEN -9223372036854775808
+                  ELSE (1::BIGINT << CAST(b AS INTEGER)) END
+             ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
