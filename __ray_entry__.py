@@ -992,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_approx_quantiles": R.GROUPED_APPROX_QUANTILES_SQL,
         "language_id": TX.LANGUAGE_ID_SQL,
         "simhash": TX.SIMHASH_SQL,
+        "minhash_dedup": TX.MINHASH_DEDUP_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -28,7 +28,6 @@ from ray.data import Dataset
 from ..util import round_away, vecs_np
 from ray.data.aggregate import Count, Min, Sum
 
-from ..ids import hash64_array
 from .text import tokenize
 
 # Words with document frequency above this never generate candidate pairs
@@ -111,12 +110,17 @@ class MinHasher:
             shingles = [" ".join(toks)] if toks else [""]
         else:
             shingles = [" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)]
-        return np.unique(hash64_array(shingles))
+        # md5-lower-64 (not blake2b) so the SQL oracle can recompute the
+        # exact same shingle hashes with DuckDB's md5_number_lower() — the
+        # same engine/oracle hash contract simhash_batch uses.
+        return np.unique(_md5_lower64(shingles))
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingle_hashes(text)
-        # universal hash h_i(x) = (a_i * x + b_i) mod p, then min over shingles
-        x = sh.astype(np.uint64)[:, None]
+        # universal hash h_i(x) = (a_i * x + b_i) mod p over the uint64
+        # shingle hash (products wrap mod 2^64 first — the oracle mirrors
+        # the wrap with HUGEINT arithmetic)
+        x = sh[:, None]
         prod = (x * self.a.astype(np.uint64)[None, :] + self.b.astype(np.uint64)[None, :])
         vals = prod % np.uint64(self.MERSENNE)
         return vals.min(axis=0).astype(np.int64)

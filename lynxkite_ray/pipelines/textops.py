@@ -229,7 +229,112 @@ def q_simhash(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
+    """SQL-oracled since r5: MinHasher hashes shingles with md5-lower-64
+    (the simhash engine/oracle hash contract), so the oracle below
+    recomputes the ENTIRE pipeline — signatures, band buckets, candidate
+    pairs, exact-Jaccard verify, connected components — in DuckDB."""
     return D.minhash_dedup(_docs(sf_dir), threshold=0.9)
+
+
+def _minhash_perm_values() -> str:
+    """The 128 (a, b) universal-hash constants of q_minhash_dedup's exact
+    MinHasher config (num_perm=128, seed=7), embedded into the oracle SQL
+    the same way PII_SCRUB_SQL embeds the shared regex patterns."""
+    mh = D.MinHasher()
+    return ",".join(
+        f"({i},{int(a)},{int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+
+
+# Exact SQL replica of minhash_dedup(threshold=0.9): word trigram shingles →
+# md5_number_lower shingle hashes → 128-perm signatures ((a*x+b) wraps mod
+# 2^64 before mod (2^61-1), mirrored with HUGEINT arithmetic) → 32 bands of
+# 4 rows folded with the engine's FNV-style fold mod 2^64 → bucket self-join
+# candidates → exact word-set Jaccard ≥ 0.9 → min-label components via
+# transitive closure over the (tiny) dup graph.
+MINHASH_DEDUP_SQL = rf"""
+WITH RECURSIVE tok_list AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM documents
+),
+shingles AS MATERIALIZED (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ts) = 0 THEN ['']
+         WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(range(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END) AS sh
+  FROM tok_list
+),
+shash AS MATERIALIZED (
+  SELECT DISTINCT doc_id, CAST(md5_number_lower(sh) AS HUGEINT) AS x
+  FROM shingles
+),
+perms(i, a, b) AS (VALUES {_minhash_perm_values()}),
+sig AS MATERIALIZED (
+  SELECT doc_id, p.i AS pi,
+         MIN(((CAST(p.a AS HUGEINT) * x + p.b) % 18446744073709551616)
+             % 2305843009213693951) AS sv
+  FROM shash CROSS JOIN perms p
+  GROUP BY doc_id, p.i
+),
+bsig AS MATERIALIZED (
+  SELECT doc_id, pi // 4 AS band,
+         MAX(CASE WHEN pi % 4 = 0 THEN sv END) AS s0,
+         MAX(CASE WHEN pi % 4 = 1 THEN sv END) AS s1,
+         MAX(CASE WHEN pi % 4 = 2 THEN sv END) AS s2,
+         MAX(CASE WHEN pi % 4 = 3 THEN sv END) AS s3
+  FROM sig GROUP BY doc_id, pi // 4
+),
+buckets AS MATERIALIZED (
+  SELECT doc_id, band,
+         (((((s0 * 1099511628211 + s1) % 18446744073709551616)
+             * 1099511628211 + s2) % 18446744073709551616)
+             * 1099511628211 + s3) % 18446744073709551616 AS bh
+  FROM bsig
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+words AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok_list
+),
+wc AS MATERIALIZED (
+  SELECT doc_id, COUNT(*)::BIGINT AS n FROM words GROUP BY doc_id
+),
+common AS MATERIALIZED (
+  SELECT c.src, c.dst, COUNT(*)::BIGINT AS cnt
+  FROM cand c
+  JOIN words ws ON ws.doc_id = c.src
+  JOIN words wd ON wd.doc_id = c.dst AND wd.w = ws.w
+  GROUP BY c.src, c.dst
+),
+dup_edges AS MATERIALIZED (
+  SELECT cm.src, cm.dst
+  FROM common cm
+  JOIN wc s ON s.doc_id = cm.src
+  JOIN wc d ON d.doc_id = cm.dst
+  WHERE CAST(cm.cnt AS DOUBLE) / (s.n + d.n - cm.cnt) >= 0.9
+),
+sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM dup_edges
+  UNION SELECT dst, src FROM dup_edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+rep AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS BIGINT) AS rep
+FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
 
 
 def q_ann_lsh(sf_dir: str):
