@@ -674,35 +674,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round): queries with no CORRECTNESS row in the r01-r03 union come
     # FIRST (the `_head` list below), then the ones whose implementation
     # changed most recently, then the repeatedly-verified backbone.
+    # Exactly 50 entries — the driver samples the first 50 per round.
     _head = [
-        # --- new or newly SQL-oracled in round 5 (VERDICT r4 #1) ---
+        # --- newly SQL-oracled in round 5 (VERDICT r4 #1): these turn
+        # no_oracle union rows into hash-green ones ---
         "katz_centrality", "eigenvector_centrality", "segment_quality",
-        "steiner_tree", "media_features", "hits_scores", "core_numbers",
-        "strongly_connected_components", "pagerank_converged",
-        "closeness_centrality", "lin_centrality", "average_distance",
-        "laplacian_centrality", "snowball_sample", "dispersion",
-        "bowtie", "personalized_pagerank",
-        "forest_fire_score", "k_path_centrality", "infocom_communities",
-        "segment_stability", "segment_fragmentation", "segmentation_scalars",
-        "language_id",  # simhash is in the re-verify section below
-        # oracle registered since r3 but never re-sampled with it
-        "ann_topk",
+        "hits_scores", "core_numbers", "strongly_connected_components",
+        "pagerank_converged", "closeness_centrality", "lin_centrality",
+        "average_distance", "laplacian_centrality", "segment_stability",
+        "segment_fragmentation", "segmentation_scalars", "language_id",
+        "ann_topk", "media_features", "snowball_sample", "dispersion",
+        "bowtie", "personalized_pagerank", "simhash", "minhash_dedup",
+        "ann_lsh", "fingerprints", "winnowing_fingerprints",
+        # --- new in round 5, rows-only (never had a driver row) ---
+        "steiner_tree", "forest_fire_score", "k_path_centrality",
+        "infocom_communities",
         # --- implementation changed in round 5: re-verify ---
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
         # _doc_words feeds jaccard; grouped_approx_quantiles got NaN masking
         "exact_dedup", "jaccard_pairs", "embedding_neardup", "ann_threshold",
-        "ann_lsh", "ann_ivf", "text_embeddings", "text_embedding_ann",
-        "kmeans_clusters", "minhash_dedup", "simhash", "logistic_scores",
-        "pca_embeddings", "decision_tree_scores", "linear_regression",
-        "approx_quantiles", "grouped_approx_quantiles", "training_shards",
-        # --- oracle text changed in round 5 (MATERIALIZED CTEs): re-verify ---
+        "ann_ivf", "text_embeddings", "text_embedding_ann",
+        "kmeans_clusters", "logistic_scores", "pca_embeddings",
+        "decision_tree_scores", "linear_regression", "approx_quantiles",
+        "grouped_approx_quantiles", "training_shards",
+        # --- oracle text changed in round 5 (MATERIALIZED CTEs): re-verify
+        # the flagship family (degree/in_degree/triangles_per_vertex/
+        # neighbor_price_stats saw the same mechanical change, were verified
+        # locally, and keep their r1-r4 green rows) ---
         "pagerank", "pagerank_weighted", "connected_components",
-        "label_propagation", "degree", "in_degree", "triangle_count",
-        "triangles_per_vertex", "neighbor_price_stats",
-        # --- rows-only tail: keep a fresh driver row on record (the rest
-        # of the rows-only family has green r4 rows already) ---
-        "host_graph_pagerank", "effective_diameter", "louvain",
+        "label_propagation", "triangle_count",
     ]
     q = {
         # --- new in round 3 (never driver-checked) ---
@@ -993,6 +994,9 @@ def oracle_sql() -> dict[str, str]:
         "language_id": TX.LANGUAGE_ID_SQL,
         "simhash": TX.SIMHASH_SQL,
         "minhash_dedup": TX.MINHASH_DEDUP_SQL,
+        "ann_lsh": TX.ANN_LSH_SQL,
+        "fingerprints": TX.FINGERPRINTS_SQL,
+        "winnowing_fingerprints": TX.WINNOWING_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -210,17 +210,19 @@ def token_count(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Datas
 
 
 def fingerprint64(text: str) -> int:
-    """Pinned 63-bit blake2b fingerprint of the whitespace-normalized text
+    """Pinned 63-bit fingerprint of the whitespace-normalized text
     (document fingerprinting for container-level dedup manifests).  One
     C-level hash call per document — the earlier per-character Python
     polynomial loop was O(total chars) interpreted work on the hot corpus
-    path (VERDICT r2 'What's wrong' #3)."""
+    path (VERDICT r2 'What's wrong' #3).  md5-lower-64 (the simhash /
+    minhash engine-oracle hash contract) so DuckDB's md5_number_lower()
+    recomputes the identical value in the SQL oracle."""
     import hashlib
 
-    d = hashlib.blake2b(
-        " ".join(tokenize(text)).encode("utf-8", "surrogatepass"), digest_size=8
+    d = hashlib.md5(
+        " ".join(tokenize(text)).encode("utf-8", "surrogatepass")
     ).digest()
-    return int.from_bytes(d, "big") & 0x7FFFFFFFFFFFFFFF
+    return int.from_bytes(d[8:], "little") & 0x7FFFFFFFFFFFFFFF
 
 
 def fingerprints(ds: Dataset, col: str = "text", id_col: str = "doc_id") -> Dataset:

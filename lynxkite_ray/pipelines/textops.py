@@ -39,7 +39,48 @@ def q_repetition_signals(sf_dir: str):
 
 
 def q_winnowing_fingerprints(sf_dir: str):
+    """SQL-oracled since r5: the k-gram polynomial rolling hash runs over
+    unicode codepoints in uint64 wraparound arithmetic, which the oracle
+    mirrors with HUGEINT mod-2^64 terms (the two wide power constants are
+    the engine's uint64-wrapped 1000003^4 / 1000003^3); window minima and
+    the <=window global-min fallback are list ops."""
     return T.winnowing_fingerprints(_docs(sf_dir))
+
+
+# Exact SQL replica of winnowing_fingerprints(k=5, window=4): codepoint
+# lists → k-gram hashes h_j = sum(cp[j+t] * 1000003^(4-t)) with per-term
+# and per-sum wrap mod 2^64, masked to 61 bits → minima of each 4-window
+# (global min when fewer than 5 k-grams) → distinct per document.
+WINNOWING_SQL = """
+WITH cps AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, ''),
+                        c -> CAST(unicode(c) AS HUGEINT)) AS cp
+  FROM documents
+  WHERE length(text) >= 5
+),
+kh AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, len(cp) - 3), j ->
+           ((cp[j]   * 14003818205314896721 % 18446744073709551616)
+          + (cp[j+1] * 1000009000027000027 % 18446744073709551616)
+          +  cp[j+2] * 1000006000009
+          +  cp[j+3] * 1000003
+          +  cp[j+4]) % 18446744073709551616 % 2305843009213693952) AS h
+  FROM cps
+),
+sel AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(h) <= 4 THEN [list_min(h)]
+              ELSE list_transform(range(1, len(h) - 2), j ->
+                     LEAST(h[j], h[j+1], h[j+2], h[j+3]))
+         END AS w
+  FROM kh
+)
+SELECT DISTINCT doc_id, fingerprint FROM (
+  SELECT doc_id, CAST(unnest(w) AS BIGINT) AS fingerprint FROM sel
+)
+"""
 
 
 REPETITION_SQL = r"""
@@ -213,6 +254,52 @@ WHERE a.vec_id < 10
 """
 
 
+def _lsh_plane_values() -> str:
+    """q_ann_lsh's exact hyperplane matrix (dim=64, n_planes=8, seed=5) as
+    SQL VALUES rows — repr() round-trips float64, so the embedded literals
+    parse back to the identical doubles the engine multiplies with."""
+    from ..functions.similarity import _HyperplaneSigner
+
+    s = _HyperplaneSigner(dim=64, n_planes=8, seed=5, vec_col="", id_col="")
+    return ",".join(
+        f"({p}, [{','.join(repr(float(v)) for v in s.H[:, p])}])"
+        for p in range(s.H.shape[1])
+    )
+
+
+# Exact SQL replica of ann_lsh(query_ids=range(5), k=5): hyperplane-sign
+# buckets from the embedded seed-5 plane matrix (dot products in float64 on
+# both sides — embedding widened FLOAT[]→DOUBLE[]), probe = every vector
+# sharing a query's bucket, exact cosine top-5 re-rank inside the probed
+# set with the ANN_TOPK_SQL tie-break (cos DESC, neighbor_id ASC).
+ANN_LSH_SQL = f"""
+WITH h(p, hv) AS (VALUES {_lsh_plane_values()}),
+sig AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), h.hv) > 0
+                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN h GROUP BY vec_id
+),
+probed AS MATERIALIZED (
+  SELECT vec_id FROM sig
+  WHERE bucket IN (SELECT DISTINCT bucket FROM sig WHERE vec_id < 5)
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 5
+    AND b.vec_id IN (SELECT vec_id FROM probed)
+) WHERE rank <= 5
+"""
+
+
 # ----------------------------------------------------------------- rows-only
 
 
@@ -221,7 +308,20 @@ def q_language_id(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
+    """SQL-oracled since r5: fingerprint64 is md5-lower-64 of the
+    whitespace-normalized text, recomputed verbatim by the oracle."""
     return T.fingerprints(_docs(sf_dir))
+
+
+FINGERPRINTS_SQL = r"""
+SELECT doc_id,
+       CAST(md5_number_lower(array_to_string(
+            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END, ' '))
+            & 9223372036854775807 AS BIGINT) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def q_simhash(sf_dir: str):
