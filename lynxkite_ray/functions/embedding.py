@@ -14,8 +14,6 @@ out — the same slot a GPU encoder drops into on a real cluster.
 
 from __future__ import annotations
 
-from zlib import crc32
-
 import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
@@ -25,26 +23,36 @@ from .text import tokenize
 
 class HashedNgramModel:
     """Deterministic fallback encoder: signed hashed unigram+bigram counts,
-    L2-normalized.  crc32 is C-level per token; bit 31 carries the sign so
-    bucket collisions partially cancel (feature-hashing estimator)."""
+    L2-normalized.  md5-lower-64 per gram (the engine/oracle hash contract
+    simhash, minhash and fingerprint64 share — DuckDB's md5_number_lower
+    recomputes it); the top bit carries the sign so bucket collisions
+    partially cancel (feature-hashing estimator).  Bucket sums are exact
+    small integers and the normalization is a single sqrt + divide, so the
+    SQL oracle reproduces the floats bit-exactly."""
 
     def __init__(self, dim: int = 64):
         self.dim = dim
 
     def encode(self, texts: list[str]) -> np.ndarray:
+        from hashlib import md5
+
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        frm = int.from_bytes
         for i, s in enumerate(texts):
             toks = tokenize(s)
             grams = toks + [a + " " + b for a, b in zip(toks, toks[1:])]
             if not grams:
                 continue
             h = np.fromiter(
-                (crc32(g.encode("utf-8", "surrogatepass")) for g in grams),
-                np.int64,
+                (
+                    frm(md5(g.encode("utf-8", "surrogatepass")).digest()[8:], "little")
+                    for g in grams
+                ),
+                np.uint64,
                 len(grams),
             )
-            sign = 1.0 - 2.0 * ((h >> 31) & 1)
-            np.add.at(out[i], h % self.dim, sign)
+            sign = 1.0 - 2.0 * ((h >> np.uint64(63)) & np.uint64(1)).astype(np.float64)
+            np.add.at(out[i], (h % np.uint64(self.dim)).astype(np.int64), sign)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         nz = norms[:, 0] > 0
         out[nz] /= norms[nz]

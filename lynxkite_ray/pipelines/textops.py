@@ -502,16 +502,80 @@ FROM documents
 
 def q_text_embeddings(sf_dir: str):
     """TextEmbeddingPython.scala:21 analog — deterministic hashed-n-gram
-    embeddings over the documents table (rows-only: the hashing-trick
-    projection is not SQL-expressible)."""
+    embeddings over the documents table.  SQL-oracled since r5: grams hash
+    with md5-lower-64, bucket sums are exact ±1 integers and the L2
+    normalization is one sqrt + one divide per value, so the oracle's
+    doubles are bit-identical."""
     from ..functions.embedding import embed_text
 
     return embed_text(_docs(sf_dir), dim=32)
 
 
+# Exact SQL replica of embed_text(dim=32): unigrams + space-joined bigrams
+# → md5_number_lower bucket (h % 32) and sign (top bit) → per-bucket signed
+# counts on a dense doc × 32 grid → L2 normalize → ordered DOUBLE[32] list.
+_TEXT_EMB_CTE = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, unnest(
+    ts || list_transform(range(1, len(ts)), j -> ts[j] || ' ' || ts[j+1])
+  ) AS g
+  FROM toks
+),
+bs AS MATERIALIZED (
+  SELECT doc_id, CAST(md5_number_lower(g) % 32 AS BIGINT) AS b,
+         SUM(CASE WHEN (md5_number_lower(g) >> 63) & 1 = 1
+                  THEN -1.0 ELSE 1.0 END) AS v
+  FROM grams GROUP BY doc_id, b
+),
+norm AS MATERIALIZED (
+  SELECT doc_id, sqrt(SUM(v * v)) AS n FROM bs GROUP BY doc_id
+),
+grid AS MATERIALIZED (
+  SELECT d.doc_id, i.b
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS b) i
+),
+emb AS MATERIALIZED (
+  SELECT g.doc_id,
+         list(COALESCE(bs.v / NULLIF(norm.n, 0), 0.0) ORDER BY g.b) AS embedding
+  FROM grid g
+  LEFT JOIN bs ON bs.doc_id = g.doc_id AND bs.b = g.b
+  LEFT JOIN norm ON norm.doc_id = g.doc_id
+  GROUP BY g.doc_id
+)
+"""
+
+TEXT_EMBEDDINGS_SQL = _TEXT_EMB_CTE + """
+SELECT doc_id, embedding FROM emb ORDER BY doc_id
+"""
+
+# Top-3 cosine re-rank over the bit-exact recomputed embeddings, with the
+# ANN_TOPK_SQL tie-break (cos DESC, neighbor_id ASC).
+TEXT_EMB_ANN_SQL = _TEXT_EMB_CTE + """
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.doc_id ASC) AS rank
+  FROM emb a JOIN emb b ON a.doc_id != b.doc_id
+  WHERE a.doc_id < 5
+) WHERE rank <= 3
+"""
+
+
 def q_text_embedding_ann(sf_dir: str):
     """Generated text embeddings feeding the existing ANN suite: top-3
-    cosine neighbors for the first 5 documents (rows-only)."""
+    cosine neighbors for the first 5 documents.  SQL-oracled since r5: the
+    oracle recomputes the embeddings (bit-exact, see TEXT_EMBEDDINGS_SQL)
+    and re-ranks with list_cosine_similarity + the ANN_TOPK tie-break."""
     from ..functions.embedding import embed_text
 
     emb = embed_text(_docs(sf_dir), dim=32).materialize()
