@@ -24,12 +24,13 @@ from ray.data import Dataset
 @ray.remote
 def _km_block_init(t: pa.Table, seed: int, k: int, vec_col: str, id_col: str):
     """Per-block candidate initial centroids: the k locally smallest
-    blake2b(seed, id) hashes with their vectors."""
-    from ..ids import hash64_array
+    md5-lower-64("seed:id") hashes with their vectors (the engine/oracle
+    hash contract — DuckDB's md5_number_lower ranks the same candidates)."""
+    from .dedup import _md5_lower64
 
     ids = t.column(id_col).to_pylist()
     V = vecs_np(t.column(vec_col))
-    hs = hash64_array([f"{seed}:{i}" for i in ids])
+    hs = _md5_lower64([f"{seed}:{i}" for i in ids])
     sel = np.argsort(hs, kind="stable")[:k]
     return hs[sel], V[sel]
 
@@ -71,7 +72,11 @@ def train_kmeans(
     )
     hs = np.concatenate([p[0] for p in parts])
     cand = np.concatenate([p[1] for p in parts])
-    centroids = cand[np.argsort(hs, kind="stable")[:k]].copy()
+    # float64 centroids throughout: float32 inputs widen exactly, every
+    # distance/update is computed and stored in float64 on both the engine
+    # and the SQL-oracle side (fp32 storage rounding would make the two
+    # diverge at 1e-7 instead of 1e-16)
+    centroids = cand[np.argsort(hs, kind="stable")[:k]].astype(np.float64)
 
     for _ in range(iterations):
         cref = ray.put(centroids)

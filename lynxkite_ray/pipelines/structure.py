@@ -489,8 +489,10 @@ def q_coloring(sf_dir: str):
 
 def q_kmeans_clusters(sf_dir: str):
     """ClassifyWithModel analog — deterministic KMeans trained on the
-    embeddings, scored by an actor pool (rows-only; determinism + state
-    shape tested)."""
+    embeddings, scored by an actor pool.  SQL-oracled since r5: the init
+    picks the 8 smallest md5-lower-64("13:id") rows, centroids live in
+    float64 on both sides, and KMEANS_SQL unrolls the 5 Lloyd iterations
+    (assignment tie-break = lowest cluster index, np.argmin's rule)."""
     from ..functions.models import classify_with_model, train_kmeans
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -498,6 +500,76 @@ def q_kmeans_clusters(sf_dir: str):
     return classify_with_model(emb, centroids).map_batches(
         lambda t: t.drop_columns(["dist"]), batch_format="pyarrow"
     )
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 5, seed: int = 13, dim: int = 64) -> str:
+    """Unrolled-Lloyd SQL replica of q_kmeans_clusters.  Assignment uses
+    the engine's reduced distance (-2 v·c + ||c||², same argmin); empty
+    clusters keep the previous centroid (the engine's nz mask); both sides
+    compute in float64, so results differ only by summation order
+    (~1e-16), far below any distance gap that decides an argmin."""
+    parts = [
+        f"""
+WITH emb0 AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dimx AS MATERIALIZED (
+  SELECT vec_id, d.j, v[d.j] AS x
+  FROM emb0 CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS j) d
+),
+cent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY md5_number_lower('{seed}:' || vec_id), vec_id) - 1 AS c,
+         v AS cv
+  FROM emb0
+  ORDER BY md5_number_lower('{seed}:' || vec_id), vec_id
+  LIMIT {k}
+),
+cn0 AS MATERIALIZED (
+  SELECT c, cv, list_inner_product(cv, cv) AS cn FROM cent0
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+assign{i} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, t.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY -2.0 * list_inner_product(e.v, t.cv) + t.cn ASC,
+                      t.c ASC) AS rn
+    FROM emb0 e CROSS JOIN cn{i - 1} t
+  ) WHERE rn = 1
+),
+upd{i} AS MATERIALIZED (
+  SELECT a.c, d.j, SUM(d.x) / COUNT(*) AS cx
+  FROM assign{i} a JOIN dimx d USING (vec_id)
+  GROUP BY a.c, d.j
+),
+cn{i} AS MATERIALIZED (
+  SELECT p.c, COALESCE(u.cv, p.cv) AS cv,
+         list_inner_product(COALESCE(u.cv, p.cv), COALESCE(u.cv, p.cv)) AS cn
+  FROM cn{i - 1} p
+  LEFT JOIN (SELECT c, list(cx ORDER BY j) AS cv FROM upd{i} GROUP BY c) u
+    ON u.c = p.c
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, t.c,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY -2.0 * list_inner_product(e.v, t.cv) + t.cn ASC,
+                    t.c ASC) AS rn
+  FROM emb0 e CROSS JOIN cn{iterations} t
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+    )
+    return "".join(parts)
+
+
+KMEANS_SQL = _kmeans_sql()
 
 
 def q_modularity_by_brand(sf_dir: str):

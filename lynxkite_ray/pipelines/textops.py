@@ -505,10 +505,21 @@ def q_text_embeddings(sf_dir: str):
     embeddings over the documents table.  SQL-oracled since r5: grams hash
     with md5-lower-64, bucket sums are exact ±1 integers and the L2
     normalization is one sqrt + one divide per value, so the oracle's
-    doubles are bit-identical."""
+    doubles are bit-identical — the vector is serialized to a %.9f CSV
+    string for the driver's value hash (list columns are not hashable;
+    same contract as quantity_vector's string_agg)."""
     from ..functions.embedding import embed_text
 
-    return embed_text(_docs(sf_dir), dim=32)
+    emb = embed_text(_docs(sf_dir), dim=32)
+
+    def serialize(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        width = col.type.list_size
+        M = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
+        s = [",".join(f"{x:.9f}" for x in row) for row in M]
+        return pa.table({"doc_id": t["doc_id"], "embedding": pa.array(s, pa.string())})
+
+    return emb.map_batches(serialize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # Exact SQL replica of embed_text(dim=32): unigrams + space-joined bigrams
@@ -552,7 +563,14 @@ emb AS MATERIALIZED (
 """
 
 TEXT_EMBEDDINGS_SQL = _TEXT_EMB_CTE + """
-SELECT doc_id, embedding FROM emb ORDER BY doc_id
+SELECT g.doc_id,
+       string_agg(printf('%.9f', COALESCE(bs.v / NULLIF(norm.n, 0), 0.0)),
+                  ',' ORDER BY g.b) AS embedding
+FROM grid g
+LEFT JOIN bs ON bs.doc_id = g.doc_id AND bs.b = g.b
+LEFT JOIN norm ON norm.doc_id = g.doc_id
+GROUP BY g.doc_id
+ORDER BY g.doc_id
 """
 
 # Top-3 cosine re-rank over the bit-exact recomputed embeddings, with the

@@ -115,8 +115,12 @@ def test_kmeans_scorer_deterministic_and_coherent():
             }
         )
     )
-    c1 = train_kmeans(ds, k=4, iterations=8)
-    c2 = train_kmeans(ds, k=4, iterations=8)
+    # seed=1: the md5-lower-64 init draws one vector from each planted
+    # cluster, so Lloyd's must keep the four apart (k-means with a two-in-
+    # one-cluster init can legitimately split; that's an init property,
+    # not an engine defect)
+    c1 = train_kmeans(ds, k=4, iterations=8, seed=1)
+    c2 = train_kmeans(ds, k=4, iterations=8, seed=1)
     np.testing.assert_array_equal(c1, c2)  # deterministic training
     out = {r["vec_id"]: r["cluster"] for r in classify_with_model(ds, c1).take_all()}
     # members of the same true cluster land in the same learned cluster

@@ -69,19 +69,12 @@ def main():
         if sorted(oracle.columns) != cols:
             ok, msg = False, f"columns {cols} vs {sorted(oracle.columns)}"
         else:
-            def canon(df):
-                df = df[cols].copy()
-                for c in cols:
-                    if df[c].dtype == object and len(df) and isinstance(
-                        df[c].iloc[0], (list, tuple)
-                    ) or str(df[c].dtype) == "object" and len(df) and hasattr(
-                        df[c].iloc[0], "__len__"
-                    ) and not isinstance(df[c].iloc[0], str):
-                        df[c] = df[c].map(lambda v: tuple(v))
-                return df.sort_values(cols).reset_index(drop=True)
-
-            m = canon(mine)
-            o = canon(oracle)
+            # NO canonicalization of list cells: the driver's compare can't
+            # hash list columns either, so an oracle-bearing query with a
+            # list column must serialize it (quantity_vector's string_agg
+            # contract) — this tool failing loudly on one is the point.
+            m = mine[cols].sort_values(cols).reset_index(drop=True)
+            o = oracle[cols].sort_values(cols).reset_index(drop=True)
             if len(m) != len(o):
                 ok, msg = False, f"rows {len(m)} vs {len(o)}"
             else:
