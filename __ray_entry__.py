@@ -1000,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "text_embeddings": TX.TEXT_EMBEDDINGS_SQL,
         "text_embedding_ann": TX.TEXT_EMB_ANN_SQL,
         "kmeans_clusters": ST.KMEANS_SQL,
+        "ann_ivf": ST.ANN_IVF_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

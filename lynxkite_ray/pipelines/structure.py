@@ -502,12 +502,13 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 5, seed: int = 13, dim: int = 64) -> str:
-    """Unrolled-Lloyd SQL replica of q_kmeans_clusters.  Assignment uses
-    the engine's reduced distance (-2 v·c + ||c||², same argmin); empty
-    clusters keep the previous centroid (the engine's nz mask); both sides
-    compute in float64, so results differ only by summation order
-    (~1e-16), far below any distance gap that decides an argmin."""
+def _kmeans_cte(k: int = 8, iterations: int = 5, seed: int = 13, dim: int = 64) -> str:
+    """Unrolled-Lloyd WITH-chain shared by KMEANS_SQL and ANN_IVF_SQL:
+    ends at cn{iterations} = (c, cv DOUBLE[], cn = ||c||²).  Assignment
+    uses the engine's reduced distance (-2 v·c + ||c||², same argmin);
+    empty clusters keep the previous centroid (the engine's nz mask);
+    both sides compute in float64, so results differ only by summation
+    order (~1e-16), far below any distance gap that decides an argmin."""
     parts = [
         f"""
 WITH emb0 AS MATERIALIZED (
@@ -554,8 +555,11 @@ cn{i} AS MATERIALIZED (
     ON u.c = p.c
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 5, seed: int = 13, dim: int = 64) -> str:
+    return _kmeans_cte(k, iterations, seed, dim) + f"""
 SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
   SELECT e.vec_id, t.c,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -565,11 +569,72 @@ SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
 ) WHERE rn = 1
 ORDER BY vec_id
 """
-    )
-    return "".join(parts)
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+def _ann_ivf_sql(
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    iterations: int = 5,
+    seed: int = 13,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """SQL replica of q_ann_ivf: the same unrolled-Lloyd coarse quantizer,
+    max-cosine list assignment (ties → lowest centroid index, np.argmax's
+    rule), per-query top-nprobe probe lists, union of probed lists, exact
+    cosine top-k re-rank inside the probed set with the ANN_TOPK
+    tie-break."""
+    return _kmeans_cte(n_lists, iterations, seed, dim) + f""",
+cnn AS MATERIALIZED (
+  SELECT c, cv, CASE WHEN sqrt(cn) = 0 THEN 1.0 ELSE sqrt(cn) END AS nc
+  FROM cn{iterations}
+),
+vcos AS MATERIALIZED (
+  SELECT e.vec_id, t.c,
+         list_inner_product(e.v, t.cv)
+           / (sqrt(list_inner_product(e.v, e.v)) * t.nc) AS cos
+  FROM emb0 e CROSS JOIN cnn t
+),
+vassign AS MATERIALIZED (
+  SELECT vec_id, c AS ivf_list FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, c ASC) AS rn
+    FROM vcos
+  ) WHERE rn = 1
+),
+probe AS MATERIALIZED (
+  SELECT DISTINCT c FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, c ASC) AS rn
+    FROM vcos WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+probed AS MATERIALIZED (
+  SELECT vec_id FROM vassign WHERE ivf_list IN (SELECT c FROM probe)
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {n_queries}
+    AND b.vec_id IN (SELECT vec_id FROM probed)
+) WHERE rank <= {k}
+"""
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
 
 
 def q_modularity_by_brand(sf_dir: str):
