@@ -286,8 +286,11 @@ def _q_snowball(sf_dir: str):
 
 
 def _q_approx_distinct(sf_dir: str):
-    """HLL approximate distinct (rows-only: approximate by design; error
-    bound asserted in tests/test_scale_paths.py)."""
+    """HLL approximate distinct.  SQL-oracled since r5: the sketch hashes
+    with md5-lower-64 masked to 63 bits, so the oracle recomputes every
+    register (bucket = low 12 bits, rank = 52 - bitlength of the top 51)
+    and the bias-corrected / linear-counting estimate exactly — the
+    'approximation' is deterministic given the hash."""
     import ray.data as rd
 
     from lynxkite_ray.functions.aggregates import ApproxCountDistinct
@@ -296,6 +299,39 @@ def _q_approx_distinct(sf_dir: str):
     return li.groupby("l_suppkey").aggregate(
         ApproxCountDistinct("l_partkey", p=12, alias_name="approx_parts")
     )
+
+
+# Exact register-level HLL replica (p=12, m=4096): 2^-rank terms are exact
+# powers of two (1.0 / (1 << r)), the estimate keeps the engine's exact
+# operation order ((alpha * m) * m / s), and unhit registers contribute
+# 2^0 = 1 via the (m - COUNT(*)) term.
+APPROX_DISTINCT_SQL = """
+WITH pts AS MATERIALIZED (
+  SELECT l_suppkey,
+         md5_number_lower(CAST(l_partkey AS VARCHAR)) & 9223372036854775807 AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+regs AS MATERIALIZED (
+  SELECT l_suppkey, h & 4095 AS idx,
+         MAX(CASE WHEN (h >> 12) = 0 THEN 52
+                  ELSE 52 - length(bin(CAST(h >> 12 AS BIGINT))) END) AS r
+  FROM pts GROUP BY l_suppkey, idx
+),
+sums AS MATERIALIZED (
+  SELECT l_suppkey,
+         SUM(1.0 / (1::BIGINT << r)) + (4096 - COUNT(*)) AS s,
+         4096 - COUNT(*) AS zeros
+  FROM regs GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       CAST(ROUND(CASE WHEN ((0.7213 / (1 + 1.079 / 4096.0)) * 4096.0) * 4096.0 / s
+                            <= 2.5 * 4096.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros)
+                  ELSE ((0.7213 / (1 + 1.079 / 4096.0)) * 4096.0) * 4096.0 / s
+             END) AS BIGINT) AS approx_parts
+FROM sums
+ORDER BY l_suppkey
+"""
 
 
 def _q_hyperball(sf_dir: str):
@@ -689,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5, rows-only (never had a driver row) ---
         "steiner_tree", "forest_fire_score", "k_path_centrality",
         "infocom_communities",
+        # --- newly SQL-oracled, implementation hash changed (md5 HLL) ---
+        "approx_distinct_parts",
         # --- implementation changed in round 5: re-verify ---
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
@@ -703,7 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # neighbor_price_stats saw the same mechanical change, were verified
         # locally, and keep their r1-r4 green rows) ---
         "pagerank", "pagerank_weighted", "connected_components",
-        "label_propagation", "triangle_count",
+        "label_propagation",
     ]
     q = {
         # --- new in round 3 (never driver-checked) ---
@@ -1001,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "text_embedding_ann": TX.TEXT_EMB_ANN_SQL,
         "kmeans_clusters": ST.KMEANS_SQL,
         "ann_ivf": ST.ANN_IVF_SQL,
+        "approx_distinct_parts": APPROX_DISTINCT_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

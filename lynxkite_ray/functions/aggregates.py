@@ -213,15 +213,17 @@ class ApproxCountDistinct(AggregateFnV2):
         )
 
     def aggregate_block(self, block: Block):
-        from ..ids import hash64_array
+        from .dedup import _md5_lower64
 
         col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
         vals = [str(v) for v in col.to_pylist() if v is not None]
         regs = np.zeros(self._m, dtype=np.uint8)
         if vals:
-            # hash64 is a 63-bit hash (top bit masked): bucket on the low p
-            # bits, rank = leading zeros of the remaining 63-p bits + 1
-            h = hash64_array(vals).astype(np.uint64)
+            # md5-lower-64 masked to 63 bits (the engine/oracle hash
+            # contract — DuckDB's md5_number_lower reproduces every
+            # register): bucket on the low p bits, rank = leading zeros of
+            # the remaining 63-p bits + 1
+            h = _md5_lower64(vals) & np.uint64(0x7FFFFFFFFFFFFFFF)
             idx = (h & np.uint64(self._m - 1)).astype(np.int64)
             w = h >> np.uint64(self._p)
             width = 63 - self._p
