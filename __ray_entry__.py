@@ -346,12 +346,53 @@ def _q_hyperball(sf_dir: str):
 
 
 def _q_sample_customers(sf_dir: str):
-    """SampleVertices analog — seeded row sample (rows-only check: the
-    sample is deterministic for a fixed seed + plan, but not SQL-mirrorable)."""
+    """SampleVertices analog — deterministic content-hash Bernoulli sample
+    (ids.hash_sample_mask).  SQL-oracled since r5: partition-stable (the
+    same rows are kept under any repartitioning, unlike plan-dependent
+    random_sample) and exactly reproduced by md5_number_lower in DuckDB."""
     import ray.data as rd
 
+    from lynxkite_ray.ids import hash_sample_mask
+
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    return cust.random_sample(0.1, seed=7)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("c_custkey").to_pylist()
+        return t.filter(pa.array(hash_sample_mask([str(i) for i in ids], 0.1, 7)))
+
+    return cust.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_CUSTOMERS_SQL = f"""
+SELECT c_custkey FROM customer
+WHERE md5_number_lower('7:' || CAST(c_custkey AS VARCHAR))
+        < {int(0.1 * 2.0**64)}
+ORDER BY c_custkey
+"""
+
+
+# The mask, bucket arithmetic ((v-lo)/width truncated, clip into the top
+# bucket) and 5× extrapolation replicate sampled_histogram exactly; the
+# bucket grid left-join restores empty buckets (np.bincount minlength).
+SAMPLED_HISTOGRAM_SQL = f"""
+WITH s AS MATERIALIZED (
+  SELECT c_acctbal AS v FROM customer
+  WHERE md5_number_lower('5:' || CAST(c_acctbal AS VARCHAR))
+          < {int(0.2 * 2.0**64)}
+    AND c_acctbal >= -1000.0 AND c_acctbal < 10000.0
+),
+cnt AS MATERIALIZED (
+  SELECT CAST(LEAST(GREATEST(FLOOR((v - (-1000.0)) / 1000.0), 0), 10) AS BIGINT)
+           AS bucket,
+         COUNT(*)::BIGINT AS n
+  FROM s GROUP BY bucket
+),
+grid AS (SELECT unnest(range(0, 11)) AS bucket)
+SELECT g.bucket,
+       CAST(ROUND(COALESCE(cnt.n, 0) * 5.0) AS BIGINT) AS est_count
+FROM grid g LEFT JOIN cnt ON cnt.bucket = g.bucket
+ORDER BY g.bucket
+"""
 
 
 def _q_components(sf_dir: str):
@@ -725,8 +766,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5, rows-only (never had a driver row) ---
         "steiner_tree", "forest_fire_score", "k_path_centrality",
         "infocom_communities",
-        # --- newly SQL-oracled, implementation hash changed (md5 HLL) ---
-        "approx_distinct_parts",
+        # --- newly SQL-oracled, sampling/hash semantics changed (md5 HLL,
+        # content-hash Bernoulli sampling) ---
+        "approx_distinct_parts", "sample_customers", "sampled_histogram",
         # --- implementation changed in round 5: re-verify ---
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
@@ -736,12 +778,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters", "logistic_scores", "pca_embeddings",
         "decision_tree_scores", "linear_regression", "approx_quantiles",
         "grouped_approx_quantiles", "training_shards",
-        # --- oracle text changed in round 5 (MATERIALIZED CTEs): re-verify
-        # the flagship family (degree/in_degree/triangles_per_vertex/
-        # neighbor_price_stats saw the same mechanical change, were verified
-        # locally, and keep their r1-r4 green rows) ---
-        "pagerank", "pagerank_weighted", "connected_components",
-        "label_propagation",
+        # --- implementation changed in round 5 (PR serial-fraction cut):
+        # re-verify; the rest of the flagship family (CC/LPA/degree/
+        # triangles) saw only oracle-text or cache-key changes, was
+        # verified locally, and keeps its r1-r4 green rows ---
+        "pagerank", "pagerank_weighted",
     ]
     q = {
         # --- new in round 3 (never driver-checked) ---
@@ -1040,6 +1081,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": ST.KMEANS_SQL,
         "ann_ivf": ST.ANN_IVF_SQL,
         "approx_distinct_parts": APPROX_DISTINCT_SQL,
+        "sample_customers": SAMPLE_CUSTOMERS_SQL,
+        "sampled_histogram": SAMPLED_HISTOGRAM_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

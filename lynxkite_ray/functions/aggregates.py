@@ -515,15 +515,28 @@ def sampled_histogram(
     fraction: float = 0.2,
     seed: int = 5,
 ) -> Dataset:
-    """Histogram estimated from a seeded row sample, counts extrapolated by
-    1/fraction (RDDUtils.scala:140-217 sampled estimation with
-    extrapolation — at 100 TB a viz-grade histogram must sample).
-    (bucket, est_count); approximate by construction → rows-only."""
+    """Histogram estimated from a deterministic content-hash row sample,
+    counts extrapolated by 1/fraction (RDDUtils.scala:140-217 sampled
+    estimation with extrapolation — at 100 TB a viz-grade histogram must
+    sample).  The sample mask is md5-lower-64("seed:value") < fraction·2^64
+    (ids.hash_sample_mask): partition-stable AND SQL-mirrorable, so the
+    'approximate' histogram is exactly reproducible — the approximation is
+    vs the full data, not vs reruns.  (bucket, est_count)."""
     import numpy as np
     import pyarrow as pa
 
+    from ..ids import hash_sample_mask
+
     width = (hi - lo) / buckets
-    sample = ds.select_columns([col]).random_sample(fraction, seed=seed)
+
+    def keep(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        mask = hash_sample_mask([str(v) for v in vals], fraction, seed)
+        return t.filter(pa.array(mask))
+
+    sample = ds.select_columns([col]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def bucketize(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)

@@ -48,6 +48,21 @@ def hash64_array(values) -> np.ndarray:
     )
 
 
+def hash_sample_mask(values, fraction: float, seed: int) -> np.ndarray:
+    """Deterministic Bernoulli sample membership: keep a row iff
+    md5-lower-64("seed:value") < fraction·2^64.  Content-hashed sampling is
+    partition-stable (the same rows are kept under ANY repartitioning —
+    ray.data.random_sample is plan-dependent) and SQL-mirrorable: DuckDB's
+    md5_number_lower reproduces the mask exactly.  ``values`` are the str()
+    forms of the rows' sample keys; str(float) and DuckDB's CAST(DOUBLE AS
+    VARCHAR) agree (both emit the unique shortest round-trip decimal) for
+    non-exponent-range values."""
+    from .functions.dedup import _md5_lower64
+
+    thr = np.uint64(int(fraction * 2.0**64))
+    return _md5_lower64([f"{seed}:{v}" for v in values]) < thr
+
+
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
