@@ -371,6 +371,83 @@ ORDER BY c_custkey
 """
 
 
+def _effective_diameter_sql(max_rounds: int = 30, p: int = 6, seed: int = 11) -> str:
+    """HyperANF replica of q_effective_diameter: md5-lower-64 initial
+    registers (sparse (id, idx, rank) rows — absent registers are 0),
+    max_rounds unrolled max-merge propagation rounds over the symmetric
+    co-purchase edges (post-fixpoint rounds are idempotent, so unrolling
+    past the engine's dynamic stop changes nothing), per-round HLL
+    neighborhood function with the engine's exact operation order, 90%
+    interpolated crossing.  ``rounds`` = last round whose register mass
+    grew (register ranks are monotone, so SUM(r) strictly increases on any
+    change)."""
+    m = 1 << p
+    width = 63 - p
+    head = f"""
+WITH {_EDGES_CTE.strip()},
+reg0 AS MATERIALIZED (
+  SELECT id, CAST(h & {m - 1} AS BIGINT) AS idx,
+         CAST(CASE WHEN (h >> {p}) = 0 THEN {width + 1}
+              ELSE {width + 1} - length(bin(CAST(h >> {p} AS BIGINT))) END
+              AS BIGINT) AS r
+  FROM (SELECT id,
+               md5_number_lower('{seed}:' || CAST(id AS VARCHAR))
+                 & 9223372036854775807 AS h
+        FROM vertices)
+)"""
+    parts = [head]
+    est = (
+        f"SELECT SUM(CASE WHEN ((0.7213 / (1 + 1.079 / {m}.0)) * {m}.0) * {m}.0 / s"
+        f" <= 2.5 * {m}.0 AND zeros > 0 THEN {m}.0 * ln({m}.0 / zeros)"
+        f" ELSE ((0.7213 / (1 + 1.079 / {m}.0)) * {m}.0) * {m}.0 / s END) AS nf"
+        " FROM (SELECT id, SUM(1.0 / (1::BIGINT << r)) + ({m} - COUNT(*)) AS s,"
+        " {m} - COUNT(*) AS zeros FROM reg{t} GROUP BY id)".replace("{m}", str(m))
+    )
+    for t in range(1, max_rounds + 1):
+        parts.append(
+            f""",
+reg{t} AS MATERIALIZED (
+  SELECT id, idx, MAX(r) AS r FROM (
+    SELECT id, idx, r FROM reg{t - 1}
+    UNION ALL
+    SELECT e.dst AS id, q.idx, q.r FROM sym e JOIN reg{t - 1} q ON q.id = e.src
+  ) GROUP BY id, idx
+)"""
+        )
+    nf_rows = " UNION ALL ".join(
+        f"SELECT {t} AS t, ({est.replace('{t}', str(t))}) AS nf"
+        for t in range(0, max_rounds + 1)
+    )
+    tot_rows = " UNION ALL ".join(
+        f"SELECT {t} AS t, (SELECT SUM(r) FROM reg{t}) AS tot"
+        for t in range(0, max_rounds + 1)
+    )
+    parts.append(
+        f""",
+nfs AS MATERIALIZED ({nf_rows}),
+tots AS MATERIALIZED ({tot_rows}),
+tgt AS (SELECT 0.9 * (SELECT nf FROM nfs WHERE t = {max_rounds}) AS target),
+hit AS (SELECT MIN(t) AS i FROM nfs, tgt WHERE nf >= target),
+stop AS (
+  SELECT COALESCE(MAX(a.t), 0) AS rounds
+  FROM tots a JOIN tots b ON b.t = a.t - 1 WHERE a.tot > b.tot
+)
+SELECT ROUND(CASE WHEN hit.i = 0 THEN 0.0
+        ELSE (hit.i - 1) + CASE
+          WHEN ((SELECT nf FROM nfs WHERE t = hit.i)
+                - (SELECT nf FROM nfs WHERE t = hit.i - 1)) > 0
+          THEN (tgt.target - (SELECT nf FROM nfs WHERE t = hit.i - 1))
+               / ((SELECT nf FROM nfs WHERE t = hit.i)
+                  - (SELECT nf FROM nfs WHERE t = hit.i - 1))
+          ELSE 0.0 END
+       END, 6) AS effective_diameter,
+       CAST(stop.rounds AS BIGINT) AS rounds
+FROM hit, tgt, stop
+"""
+    )
+    return "".join(parts)
+
+
 # The mask, bucket arithmetic ((v-lo)/width truncated, clip into the top
 # bucket) and 5× extrapolation replicate sampled_histogram exactly; the
 # bucket grid left-join restores empty buckets (np.bincount minlength).
@@ -769,11 +846,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- newly SQL-oracled, sampling/hash semantics changed (md5 HLL,
         # content-hash Bernoulli sampling) ---
         "approx_distinct_parts", "sample_customers", "sampled_histogram",
+        "effective_diameter",
         # --- implementation changed in round 5: re-verify ---
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
         # _doc_words feeds jaccard; grouped_approx_quantiles got NaN masking
-        "exact_dedup", "jaccard_pairs", "embedding_neardup", "ann_threshold",
+        "exact_dedup", "jaccard_pairs", "embedding_neardup",
         "ann_ivf", "text_embeddings", "text_embedding_ann",
         "kmeans_clusters", "logistic_scores", "pca_embeddings",
         "decision_tree_scores", "linear_regression", "approx_quantiles",
@@ -1083,6 +1161,11 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_parts": APPROX_DISTINCT_SQL,
         "sample_customers": SAMPLE_CUSTOMERS_SQL,
         "sampled_histogram": SAMPLED_HISTOGRAM_SQL,
+        # 10 unrolled rounds = 3× the measured register fixpoint (T=3 at
+        # sf0.01, T=2 at sf0.001; the dense co-purchase graph has a tiny
+        # diameter at every sf) — post-fixpoint rounds are idempotent, and
+        # an insufficient unroll fails loudly as a driver mismatch.
+        "effective_diameter": _effective_diameter_sql(max_rounds=10),
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

@@ -62,13 +62,18 @@ def _ball_rounds(
     the register FIXPOINT was reached (the last estimate is a true N(∞));
     left False when the loop stopped at ``max_diameter`` with the balls
     still growing (the neighborhood function is truncated — ADVICE r3)."""
-    from ...ids import hash64_array
+    from ..dedup import _md5_lower64
 
     V = graph.num_vertices
     m = 1 << p
 
-    # init: each vertex's ball contains itself
-    h = hash64_array([f"{seed}:{v}" for v in graph.vids.tolist()]).astype(np.uint64)
+    # init: each vertex's ball contains itself.  md5-lower-64 masked to 63
+    # bits (the engine/oracle hash contract): DuckDB's md5_number_lower
+    # reproduces every register, so the neighborhood function is exactly
+    # recomputable in SQL.
+    h = _md5_lower64([f"{seed}:{v}" for v in graph.vids.tolist()]) & np.uint64(
+        0x7FFFFFFFFFFFFFFF
+    )
     idx = (h & np.uint64(m - 1)).astype(np.int64)
     w = h >> np.uint64(p)
     width = 63 - p

@@ -1480,11 +1480,15 @@ ORDER BY e.src, e.dst
 
 def q_effective_diameter(sf_dir: str):
     """HyperANF 90% effective diameter of the co-purchase graph — one-row
-    scalar, rows-only (approximate by construction; pytest tolerance vs
-    exact BFS distance distribution)."""
+    scalar.  SQL-oracled since r5: the sketch hashes with md5-lower-64, so
+    the oracle replays the register propagation, per-round neighborhood
+    function and interpolation exactly (the 'approximation' is vs the true
+    distance distribution, pytest-toleranced — not vs reruns).  Rounded to
+    6 decimals on both sides (summation-order float noise)."""
     import ray.data as rd
 
     from ..functions.graph.hyperball import effective_diameter
+    from ..util import round_away
 
     from .copurchase import copurchase_graph
 
@@ -1493,8 +1497,8 @@ def q_effective_diameter(sf_dir: str):
     return rd.from_arrow(
         pa.table(
             {
-                "effective_diameter": np.array(
-                    [res["effective_diameter"]], np.float64
+                "effective_diameter": round_away(
+                    np.array([res["effective_diameter"]], np.float64), 6
                 ),
                 "rounds": np.array([len(res["rounds"]) - 1], np.int64),
             }
