@@ -371,19 +371,16 @@ ORDER BY c_custkey
 """
 
 
-def _effective_diameter_sql(max_rounds: int = 30, p: int = 6, seed: int = 11) -> str:
-    """HyperANF replica of q_effective_diameter: md5-lower-64 initial
-    registers (sparse (id, idx, rank) rows — absent registers are 0),
-    max_rounds unrolled max-merge propagation rounds over the symmetric
-    co-purchase edges (post-fixpoint rounds are idempotent, so unrolling
-    past the engine's dynamic stop changes nothing), per-round HLL
-    neighborhood function with the engine's exact operation order, 90%
-    interpolated crossing.  ``rounds`` = last round whose register mass
-    grew (register ranks are monotone, so SUM(r) strictly increases on any
-    change)."""
+def _hyperball_regs_cte(max_rounds: int, p: int, seed: int) -> tuple[str, str]:
+    """Shared HyperBall register propagation: returns (WITH-chain through
+    reg{max_rounds}, per-vertex HLL estimate template with a {t} slot).
+    Registers are sparse (id, idx, rank) rows — absent registers are 0;
+    md5-lower-64 initial ranks; per round, registers flow src→dst over the
+    symmetric co-purchase edges and merge register-wise max."""
     m = 1 << p
     width = 63 - p
-    head = f"""
+    parts = [
+        f"""
 WITH {_EDGES_CTE.strip()},
 reg0 AS MATERIALIZED (
   SELECT id, CAST(h & {m - 1} AS BIGINT) AS idx,
@@ -395,14 +392,7 @@ reg0 AS MATERIALIZED (
                  & 9223372036854775807 AS h
         FROM vertices)
 )"""
-    parts = [head]
-    est = (
-        f"SELECT SUM(CASE WHEN ((0.7213 / (1 + 1.079 / {m}.0)) * {m}.0) * {m}.0 / s"
-        f" <= 2.5 * {m}.0 AND zeros > 0 THEN {m}.0 * ln({m}.0 / zeros)"
-        f" ELSE ((0.7213 / (1 + 1.079 / {m}.0)) * {m}.0) * {m}.0 / s END) AS nf"
-        " FROM (SELECT id, SUM(1.0 / (1::BIGINT << r)) + ({m} - COUNT(*)) AS s,"
-        " {m} - COUNT(*) AS zeros FROM reg{t} GROUP BY id)".replace("{m}", str(m))
-    )
+    ]
     for t in range(1, max_rounds + 1):
         parts.append(
             f""",
@@ -414,6 +404,30 @@ reg{t} AS MATERIALIZED (
   ) GROUP BY id, idx
 )"""
         )
+    # per-vertex estimate with the engine's exact operation order
+    per_vertex_est = (
+        "SELECT id, CASE WHEN ((0.7213 / (1 + 1.079 / {m}.0)) * {m}.0) * {m}.0 / s"
+        " <= 2.5 * {m}.0 AND zeros > 0 THEN {m}.0 * ln({m}.0 / zeros)"
+        " ELSE ((0.7213 / (1 + 1.079 / {m}.0)) * {m}.0) * {m}.0 / s END AS est"
+        " FROM (SELECT id, SUM(1.0 / (1::BIGINT << r)) + ({m} - COUNT(*)) AS s,"
+        " {m} - COUNT(*) AS zeros FROM reg{t} GROUP BY id)".replace("{m}", str(m))
+    )
+    return "".join(parts), per_vertex_est
+
+
+def _effective_diameter_sql(max_rounds: int = 30, p: int = 6, seed: int = 11) -> str:
+    """HyperANF replica of q_effective_diameter: md5-lower-64 initial
+    registers, max_rounds unrolled max-merge propagation rounds over the
+    symmetric co-purchase edges (post-fixpoint rounds are idempotent, so
+    unrolling past the engine's dynamic stop changes nothing), per-round
+    HLL neighborhood function with the engine's exact operation order, 90%
+    interpolated crossing.  ``rounds`` = last round whose register mass
+    grew (register ranks are monotone, so SUM(r) strictly increases on any
+    change)."""
+    m = 1 << p
+    regs, pv_est = _hyperball_regs_cte(max_rounds, p, seed)
+    parts = [regs]
+    est = f"SELECT SUM(est) AS nf FROM ({pv_est})"
     nf_rows = " UNION ALL ".join(
         f"SELECT {t} AS t, ({est.replace('{t}', str(t))}) AS nf"
         for t in range(0, max_rounds + 1)
@@ -446,6 +460,35 @@ FROM hit, tgt, stop
 """
     )
     return "".join(parts)
+
+
+def _hyperball_harmonic_sql(max_rounds: int = 8, p: int = 6, seed: int = 11) -> str:
+    """Replica of q_hyperball: harmonic = Σ_t max(est_t − est_{t−1}, 0)/t,
+    summed left-to-right in t order (the engine's += order); post-fixpoint
+    rounds contribute exactly 0, so the full max_diameter=8 unroll matches
+    the engine's dynamic stop."""
+    regs, pv_est = _hyperball_regs_cte(max_rounds, p, seed)
+    est_ctes = ",".join(
+        f"\nest{t} AS MATERIALIZED ({pv_est.replace('{t}', str(t))})"
+        for t in range(0, max_rounds + 1)
+    )
+    terms = " + ".join(
+        f"GREATEST(e{t}.est - e{t - 1}.est, 0.0) / {t}"
+        for t in range(1, max_rounds + 1)
+    )
+    joins = "".join(
+        f"\nJOIN est{t} e{t} ON e{t}.id = v.id" for t in range(0, max_rounds + 1)
+    )
+    return (
+        regs
+        + ","
+        + est_ctes
+        + f"""
+SELECT v.id, ROUND({terms}, 6) AS harmonic
+FROM vertices v{joins}
+ORDER BY v.id
+"""
+    )
 
 
 # The mask, bucket arithmetic ((v-lo)/width truncated, clip into the top
@@ -846,7 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- newly SQL-oracled, sampling/hash semantics changed (md5 HLL,
         # content-hash Bernoulli sampling) ---
         "approx_distinct_parts", "sample_customers", "sampled_histogram",
-        "effective_diameter",
+        "effective_diameter", "hyperball_harmonic",
         # --- implementation changed in round 5: re-verify ---
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
@@ -855,7 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf", "text_embeddings", "text_embedding_ann",
         "kmeans_clusters", "logistic_scores", "pca_embeddings",
         "decision_tree_scores", "linear_regression", "approx_quantiles",
-        "grouped_approx_quantiles", "training_shards",
+        "grouped_approx_quantiles",
         # --- implementation changed in round 5 (PR serial-fraction cut):
         # re-verify; the rest of the flagship family (CC/LPA/degree/
         # triangles) saw only oracle-text or cache-key changes, was
@@ -1166,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         # diameter at every sf) — post-fixpoint rounds are idempotent, and
         # an insufficient unroll fails loudly as a driver mismatch.
         "effective_diameter": _effective_diameter_sql(max_rounds=10),
+        "hyperball_harmonic": _hyperball_harmonic_sql(max_rounds=8),
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,
