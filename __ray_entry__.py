@@ -491,6 +491,96 @@ ORDER BY v.id
     )
 
 
+def _approx_common_ctes(p: int = 8, seed: int = 19) -> str:
+    """Shared core of the ApproxEmbeddedness / ApproxClusteringCoefficient
+    oracles: md5-hashed per-vertex registers, sparse neighbor sketches over
+    the canonical co-purchase edges, per-vertex HLL size estimates and
+    per-edge inclusion–exclusion common-neighbor estimates (union sketch =
+    register-wise max; absent sparse rows are rank-0 registers)."""
+    m = 1 << p
+    width = 63 - p
+    alpha = f"((0.7213 / (1 + 1.079 / {m}.0)) * {m}.0) * {m}.0"
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+vh AS MATERIALIZED (
+  SELECT id, CAST(h & {m - 1} AS BIGINT) AS idx,
+         CAST(CASE WHEN (h >> {p}) = 0 THEN {width + 1}
+              ELSE {width + 1} - length(bin(CAST(h >> {p} AS BIGINT))) END
+              AS BIGINT) AS r
+  FROM (SELECT id,
+               md5_number_lower('{seed}:' || CAST(id AS VARCHAR))
+                 & 9223372036854775807 AS h
+        FROM verts)
+),
+sk AS MATERIALIZED (
+  SELECT e.src AS id, v.idx, MAX(v.r) AS r
+  FROM sym e JOIN vh v ON v.id = e.dst
+  GROUP BY e.src, v.idx
+),
+sz AS MATERIALIZED (
+  SELECT id, CASE WHEN raw <= 2.5 * {m}.0 AND zeros > 0
+                  THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END AS est
+  FROM (SELECT id, {alpha} / s AS raw, zeros
+        FROM (SELECT id, SUM(1.0 / (1::BIGINT << r)) + ({m} - COUNT(*)) AS s,
+                     {m} - COUNT(*) AS zeros
+              FROM sk GROUP BY id))
+),
+usk AS MATERIALIZED (
+  SELECT src, dst, idx, MAX(r) AS r FROM (
+    SELECT ed.src, ed.dst, s1.idx, s1.r FROM edges ed JOIN sk s1 ON s1.id = ed.src
+    UNION ALL
+    SELECT ed.src, ed.dst, s2.idx, s2.r FROM edges ed JOIN sk s2 ON s2.id = ed.dst
+  ) GROUP BY src, dst, idx
+),
+uni AS MATERIALIZED (
+  SELECT src, dst, CASE WHEN raw <= 2.5 * {m}.0 AND zeros > 0
+                        THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END AS est
+  FROM (SELECT src, dst, {alpha} / s AS raw, zeros
+        FROM (SELECT src, dst,
+                     SUM(1.0 / (1::BIGINT << r)) + ({m} - COUNT(*)) AS s,
+                     {m} - COUNT(*) AS zeros
+              FROM usk GROUP BY src, dst))
+),
+ucommon AS MATERIALIZED (
+  SELECT u.src, u.dst,
+         GREATEST(a.est + b.est - u.est, 0.0) AS common
+  FROM uni u JOIN sz a ON a.id = u.src JOIN sz b ON b.id = u.dst
+)"""
+
+
+APPROX_EMBEDDEDNESS_SQL = _approx_common_ctes() + """
+SELECT src, dst, ROUND(common, 6) AS common FROM ucommon ORDER BY src, dst
+"""
+
+APPROX_CLUSTERING_SQL = _approx_common_ctes() + """,
+tri2 AS MATERIALIZED (
+  SELECT id, SUM(common) AS t2 FROM (
+    SELECT src AS id, common FROM ucommon
+    UNION ALL
+    SELECT dst AS id, common FROM ucommon
+  ) GROUP BY id
+),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::DOUBLE AS d FROM sym GROUP BY src)
+SELECT v.id,
+       ROUND(CASE WHEN deg.d * (deg.d - 1) > 0
+             THEN LEAST(GREATEST(COALESCE(tri2.t2, 0.0)
+                                 / (deg.d * (deg.d - 1)), 0.0), 1.0)
+             ELSE 0.0 END, 6) AS clustering
+FROM verts v
+JOIN deg ON deg.id = v.id
+LEFT JOIN tri2 ON tri2.id = v.id
+ORDER BY v.id
+"""
+
+
 # The mask, bucket arithmetic ((v-lo)/width truncated, clip into the top
 # bucket) and 5× extrapolation replicate sampled_histogram exactly; the
 # bucket grid left-join restores empty buckets (np.bincount minlength).
@@ -889,15 +979,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- newly SQL-oracled, sampling/hash semantics changed (md5 HLL,
         # content-hash Bernoulli sampling) ---
         "approx_distinct_parts", "sample_customers", "sampled_histogram",
-        "effective_diameter", "hyperball_harmonic",
+        "effective_diameter", "hyperball_harmonic", "approx_embeddedness",
+        "approx_clustering_coefficient",
         # --- implementation changed in round 5: re-verify ---
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
         # _doc_words feeds jaccard; grouped_approx_quantiles got NaN masking
         "exact_dedup", "jaccard_pairs", "embedding_neardup",
         "ann_ivf", "text_embeddings", "text_embedding_ann",
-        "kmeans_clusters", "logistic_scores", "pca_embeddings",
-        "decision_tree_scores", "linear_regression", "approx_quantiles",
+        "kmeans_clusters", "pca_embeddings",
+        "linear_regression", "approx_quantiles",
         "grouped_approx_quantiles",
         # --- implementation changed in round 5 (PR serial-fraction cut):
         # re-verify; the rest of the flagship family (CC/LPA/degree/
@@ -1210,6 +1301,8 @@ def oracle_sql() -> dict[str, str]:
         # an insufficient unroll fails loudly as a driver mismatch.
         "effective_diameter": _effective_diameter_sql(max_rounds=10),
         "hyperball_harmonic": _hyperball_harmonic_sql(max_rounds=8),
+        "approx_embeddedness": APPROX_EMBEDDEDNESS_SQL,
+        "approx_clustering_coefficient": APPROX_CLUSTERING_SQL,
         "string_bucketing": ST.STRING_BUCKETING_SQL,
         "double_bucketing": ST.DOUBLE_BUCKETING_SQL,
         "interval_bucketing": ST.INTERVAL_BUCKETING_SQL,

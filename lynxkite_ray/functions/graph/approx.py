@@ -25,7 +25,6 @@ import ray
 from ray.data import Dataset
 
 from ...context import LOCAL_EDGE_THRESHOLD
-from ...ids import hash64_array
 from ...stages.edges import canonical_edges
 from ...util import round_away
 from .hyperball import _estimate
@@ -36,9 +35,15 @@ _EDGE_CHUNK = 200_000
 
 def _vertex_hashes(vids: np.ndarray, p: int, seed: int):
     """(register index, rank) per vertex id — hashed once, reused for every
-    sketch the vertex appears in."""
+    sketch the vertex appears in.  md5-lower-64 masked to 63 bits (the
+    engine/oracle hash contract): DuckDB's md5_number_lower reproduces
+    every register, so both approx operators are exactly SQL-checkable."""
+    from ..dedup import _md5_lower64
+
     m = 1 << p
-    h = hash64_array([f"{seed}:{v}" for v in vids.tolist()]).astype(np.uint64)
+    h = _md5_lower64([f"{seed}:{v}" for v in vids.tolist()]) & np.uint64(
+        0x7FFFFFFFFFFFFFFF
+    )
     idx = (h & np.uint64(m - 1)).astype(np.int64)
     w = h >> np.uint64(p)
     width = 63 - p
