@@ -546,3 +546,35 @@ def read_hive_table(root: str, where=None, columns=None, **kwargs) -> Dataset:
     kwargs.setdefault("file_extensions", ["parquet"])
     ds = rd.read_parquet(root, columns=columns, **kwargs)
     return ds
+
+
+def read_bigquery(project: str, dataset: str, table: str, columns=None) -> Dataset:
+    """BigQuery import slot (ImportOperations.scala:360-414 'Import from
+    BigQuery').  The reference reads through the Spark BigQuery connector,
+    which fronts the BigQuery Storage Read API — a live Google service
+    with no offline analog, so this container cannot exercise it.  The
+    Arrow-native shape when the service exists: create a read session,
+    fan its streams out one-per-Ray-task, each task decoding Arrow
+    record batches — i.e. exactly the read_database() task layout with
+    streams instead of key ranges.  Export-based workflows are covered
+    today: BigQuery extracts Parquet/CSV/Avro, which read_parquet /
+    read_csv_file / read_avro ingest directly."""
+    raise NotImplementedError(
+        "BigQuery needs the live Storage Read API (no service in this "
+        "container). Reference mapping: ImportOperations.scala:360-414. "
+        "Use a BigQuery Parquet/Avro export with read_parquet/read_avro, "
+        "or read_database() against a DB-API bridge."
+    )
+
+
+def read_neo4j_live(uri: str, cypher: str) -> Dataset:
+    """Live Neo4j import slot (ImportOperations.scala:167 'Import from
+    Neo4j').  Requires a running Bolt endpoint, absent here.  The bulk
+    path is fully implemented: sources/neo4j.py writes the neo4j-admin
+    import CSV layout (typed header + parallel headerless parts), and a
+    Neo4j CSV dump reads back through read_csv_file."""
+    raise NotImplementedError(
+        "Live Neo4j import needs a Bolt service (none in this container). "
+        "Reference mapping: ImportOperations.scala:167. Bulk export is "
+        "implemented in sources/neo4j.py; CSV dumps read via read_csv_file."
+    )
