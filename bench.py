@@ -190,12 +190,19 @@ def bench_docs() -> dict:
 
 
 def bench_embeddings() -> dict:
+    import pyarrow.parquet as pq
     import ray.data as rd
 
+    from lynxkite_ray.context import num_blocks_for
     from lynxkite_ray.functions.dedup import embedding_neardup_pairs
     from lynxkite_ray.functions.similarity import ann_bruteforce
 
-    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    # the engine's block policy (200k rows/block, EntityIO.scala:92-96):
+    # without it Ray splits 2k rows into 64 blocks and the stage measures
+    # 64-task scheduling latency instead of the operator
+    path = f"{SF_DIR}/embeddings.parquet"
+    nb = num_blocks_for(pq.read_metadata(path).num_rows)
+    emb = rd.read_parquet(path, override_num_blocks=nb)
     t0 = time.time()
     embedding_neardup_pairs(emb, threshold=0.35).count()
     t1 = time.time()
