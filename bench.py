@@ -171,7 +171,16 @@ def bench_docs() -> dict:
     from lynxkite_ray.functions.dedup import exact_dedup, minhash_dedup, simhash
     from lynxkite_ray.functions.text import quality_scores
 
-    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    import pyarrow.parquet as pq
+
+    from lynxkite_ray.context import num_blocks_for
+
+    # same 200k-rows/block policy as the relational benches: the sf0.1
+    # documents table is 5k rows — without the policy every stage below
+    # pays ~64-task scheduling latency instead of measuring the operator
+    path = f"{SF_DIR}/documents.parquet"
+    nb = num_blocks_for(pq.read_metadata(path).num_rows)
+    docs = rd.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=nb)
     t0 = time.time()
     exact_dedup(docs).count()
     t1 = time.time()
