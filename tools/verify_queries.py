@@ -35,7 +35,7 @@ def main():
     only = set(sys.argv[2:])
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     ray.init(
-        address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
+        address="local", num_cpus=int(__import__("os").environ.get("VQ_CPUS", 8)), include_dashboard=False, logging_level="ERROR"
     )
     sys.path.insert(0, ".")
     import __ray_entry__ as E
