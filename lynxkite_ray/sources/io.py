@@ -120,6 +120,149 @@ def write_avro(ds: Dataset, path: str) -> int:
     return rows
 
 
+_SPARK_TYPES = {
+    "int64": "long", "int32": "integer", "int16": "short", "int8": "byte",
+    "double": "double", "float": "float", "bool": "boolean",
+    "string": "string", "large_string": "string", "binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _spark_schema_string(schema: pa.Schema) -> str:
+    """Minimal Spark-JSON schemaString for the Delta metaData action —
+    enough for external Delta readers to interpret the parquet parts
+    (timestamps / nested types fall back to the parquet footer, which
+    every reader trusts over schemaString anyway)."""
+    import json as _json
+
+    fields = []
+    for f in schema:
+        t = _SPARK_TYPES.get(str(f.type))
+        if t is None and str(f.type).startswith("timestamp"):
+            t = "timestamp"
+        fields.append(
+            {"name": f.name, "type": t or "string", "nullable": True, "metadata": {}}
+        )
+    return _json.dumps({"type": "struct", "fields": fields})
+
+
+def write_delta(ds: Dataset, table_path: str, mode: str = "append") -> int:
+    """Export to Delta (ExportOperations.scala:132 'Export to Delta') —
+    static writer, no delta-rs/Spark: stream the Dataset's blocks into
+    uniquely-named parquet parts in the table root, then commit ONE
+    ``_delta_log`` JSON version whose actions are visible atomically:
+
+    - the version file is created with O_EXCL, so two concurrent writers
+      can't both claim a version number (the loser retries with the next);
+    - readers replay only committed versions, so half-written parts are
+      invisible until the commit lands (the Delta protocol's guarantee);
+    - ``mode="overwrite"`` commits remove actions for the previously
+      active files alongside the new add actions — time travel to the
+      older versions keeps working (round-tripped by read_delta pytest).
+
+    Returns the committed version number."""
+    import json as _json
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    log_dir = os.path.join(table_path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    # stage parts, then move into the table root (atomic per file; they
+    # stay invisible to Delta readers until the commit references them)
+    stage = os.path.join(table_path, f".stage-{uuid.uuid4().hex}")
+    os.makedirs(stage, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    adds = []
+    schema = None
+    for i, b in enumerate(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")):
+        schema = b.schema
+        name = f"part-{i:05d}-{uuid.uuid4().hex}.snappy.parquet"
+        tmp = os.path.join(stage, name)
+        pq.write_table(b, tmp, compression="snappy")
+        dst = os.path.join(table_path, name)
+        os.replace(tmp, dst)
+        st = os.stat(dst)
+        adds.append(
+            {
+                "path": name,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    if schema is None:
+        schema = ds.schema().base_schema
+
+    while True:
+        existing = [
+            int(n[:20])
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") and n[:20].isdigit()
+        ]
+        version = (max(existing) + 1) if existing else 0
+        lines = []
+        if version == 0:
+            lines.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            lines.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _spark_schema_string(schema),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+        if mode == "overwrite" and version > 0:
+            lines.extend(
+                {"remove": {"path": p, "dataChange": True}}
+                for p in _delta_active_paths(table_path)
+            )
+        lines.extend({"add": a} for a in adds)
+        commit = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # another writer claimed this version — retry with next
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(_json.dumps(line) for line in lines) + "\n")
+        return version
+
+
+def _delta_active_paths(table_path: str) -> list[str]:
+    """The active file RELATIVE paths at the latest committed version
+    (same replay as read_delta, names instead of a Dataset)."""
+    import json as _json
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    commits = sorted(
+        int(n[:20])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:20].isdigit()
+    )
+    active: set[str] = set()
+    for v in commits:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = _json.loads(line)
+                if "add" in action:
+                    active.add(action["add"]["path"])
+                elif "remove" in action:
+                    active.discard(action["remove"]["path"])
+    return sorted(active)
+
+
 def read_delta(table_path: str, columns=None, version: int | None = None) -> Dataset:
     """Static Delta Lake table import (ImportOperations.scala:360-414
     Delta slot), no delta-rs/Spark needed: replay the ``_delta_log`` JSON

@@ -616,3 +616,33 @@ def test_grouped_approx_quantiles_ignores_nan():
     v1 = out[out["k"] == 1]["value"].iloc[0]
     assert abs(v0 - v1) <= 100.0 / 512 + 1e-9
     assert abs(v0 - 50.0) <= 2 * 100.0 / 512
+
+
+def test_write_delta_round_trip_and_time_travel(tmp_path):
+    """write_delta (ExportOperations.scala:132 analog) → read_delta:
+    append creates version 0 with protocol/metaData, a second append
+    version 1, an overwrite version 2 with remove actions — and time
+    travel to every version still reconstructs the right row set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.sources.io import read_delta, write_delta
+
+    root = str(tmp_path / "dl")
+    v0 = write_delta(rd.from_arrow(pa.table({"x": [1, 2, 3]})), root)
+    assert v0 == 0
+    v1 = write_delta(rd.from_arrow(pa.table({"x": [4, 5]})), root, mode="append")
+    assert v1 == 1
+    assert sorted(read_delta(root).to_pandas()["x"]) == [1, 2, 3, 4, 5]
+    assert sorted(read_delta(root, version=0).to_pandas()["x"]) == [1, 2, 3]
+    v2 = write_delta(rd.from_arrow(pa.table({"x": [9]})), root, mode="overwrite")
+    assert v2 == 2
+    assert sorted(read_delta(root).to_pandas()["x"]) == [9]
+    assert sorted(read_delta(root, version=1).to_pandas()["x"]) == [1, 2, 3, 4, 5]
+    # version 0 carries protocol + metaData with a schemaString
+    import json
+
+    with open(tmp_path / "dl" / "_delta_log" / f"{0:020d}.json") as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    assert "protocol" in actions[0] and "metaData" in actions[1]
+    assert '"type": "struct"' in actions[1]["metaData"]["schemaString"].replace('","', '", "') or "struct" in actions[1]["metaData"]["schemaString"]
