@@ -435,7 +435,7 @@ def write_sql(ds: Dataset, db_path: str, table: str, mode: str = "create",
         con.close()
 
 
-def _dbapi_connect(conn):
+def _dbapi_connect(conn, read_only: bool = True):
     """Connection spec → live DB-API connection, opened IN THE CALLING
     PROCESS (each Ray task opens its own; connections never pickle).
 
@@ -456,7 +456,7 @@ def _dbapi_connect(conn):
     if engine == "duckdb":
         import duckdb
 
-        return duckdb.connect(path, read_only=True)
+        return duckdb.connect(path, read_only=read_only)
     if engine == "sqlite":
         import sqlite3
 
@@ -689,6 +689,68 @@ def read_hive_table(root: str, where=None, columns=None, **kwargs) -> Dataset:
     kwargs.setdefault("file_extensions", ["parquet"])
     ds = rd.read_parquet(root, columns=columns, **kwargs)
     return ds
+
+
+_DBAPI_SQL_TYPES = {
+    "int64": "BIGINT", "int32": "INTEGER", "int16": "SMALLINT",
+    "int8": "SMALLINT", "double": "DOUBLE PRECISION", "float": "REAL",
+    "bool": "BOOLEAN", "string": "TEXT", "large_string": "TEXT",
+    "binary": "BLOB", "date32[day]": "DATE",
+}
+
+
+def write_database(
+    ds: Dataset,
+    conn,
+    table: str,
+    mode: str = "create",
+    batch_size: int = 1 << 16,
+    paramstyle: str = "qmark",
+) -> int:
+    """Generic DB-API export — the reference's 'Export to JDBC'
+    (ExportOperations.scala:69-96), JVM-free and symmetric to
+    read_database: stream Arrow batches into executemany INSERTs over any
+    DB-API connection spec (duckdb:/sqlite: URLs, (engine, path) tuples,
+    or a connection-factory callable for installed drivers — pass
+    ``paramstyle="format"`` for %s-style drivers).  ``mode="create"``
+    derives the DDL from the Dataset schema; ``"append"`` inserts into an
+    existing table.  Single-writer by design, same rationale as
+    write_sql.  Returns rows written."""
+    if mode not in ("create", "append"):
+        raise ValueError(f"mode must be create|append, got {mode!r}")
+    schema = ds.schema().base_schema
+    c = _dbapi_connect(conn, read_only=False)
+    try:
+        if mode == "create":
+            cols = ", ".join(
+                f'"{f.name}" '
+                + (
+                    "TIMESTAMP"
+                    if str(f.type).startswith("timestamp")
+                    else _DBAPI_SQL_TYPES.get(str(f.type), "TEXT")
+                )
+                for f in schema
+            )
+            _execute(c, f'DROP TABLE IF EXISTS "{table}"')
+            _execute(c, f'CREATE TABLE "{table}" ({cols})')
+        ph = ", ".join(
+            ("?" if paramstyle == "qmark" else "%s") for _ in schema
+        )
+        sql = f'INSERT INTO "{table}" VALUES ({ph})'
+        n = 0
+        for b in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            rows = list(
+                zip(*(b.column(i).to_pylist() for i in range(b.num_columns)))
+            )
+            if rows:
+                target = c if hasattr(c, "executemany") else c.cursor()
+                target.executemany(sql, rows)
+            n += b.num_rows
+        if hasattr(c, "commit"):
+            c.commit()
+        return n
+    finally:
+        c.close()
 
 
 def read_bigquery(project: str, dataset: str, table: str, columns=None) -> Dataset:

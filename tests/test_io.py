@@ -646,3 +646,30 @@ def test_write_delta_round_trip_and_time_travel(tmp_path):
         actions = [json.loads(line) for line in f if line.strip()]
     assert "protocol" in actions[0] and "metaData" in actions[1]
     assert '"type": "struct"' in actions[1]["metaData"]["schemaString"].replace('","', '", "') or "struct" in actions[1]["metaData"]["schemaString"]
+
+
+def test_write_database_round_trip_sqlite_and_duckdb(tmp_path):
+    """write_database (ExportOperations.scala:69-96 'Export to JDBC'
+    analog) → read_database round trip on both DB-API engines, create +
+    append modes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.sources.io import read_database, write_database
+
+    ds = rd.from_arrow(
+        pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"], "x": [1.5, 2.5, 3.5]})
+    )
+    for spec in (f"sqlite:{tmp_path}/t.db", f"duckdb:{tmp_path}/t.duckdb"):
+        n = write_database(ds, spec, "items")
+        assert n == 3
+        n2 = write_database(
+            rd.from_arrow(pa.table({"k": [4], "name": ["d"], "x": [4.5]})),
+            spec,
+            "items",
+            mode="append",
+        )
+        assert n2 == 1
+        back = read_database(spec, "SELECT * FROM items", partition_col="k").to_pandas()
+        assert sorted(back["k"].tolist()) == [1, 2, 3, 4]
+        assert sorted(back["name"].tolist()) == ["a", "b", "c", "d"]
