@@ -122,3 +122,71 @@ def pso_edges(n_vertices: int, m: int = 2, beta: float = 0.5, seed: int = 3,
         for lo in range(0, n_vertices, chunk)
     ]
     return rd.from_arrow_refs(tasks)
+
+
+# 'Import well-known graph dataset' (ImportOperations.scala:455-477): the
+# reference fetches Cora/CiteSeer/Karate Club/PubMed through
+# torch-geometric (PyTorchGeometricDataset), a network download.  Karate
+# Club is a 34-vertex constant (Zachary 1977, public domain) and ships
+# embedded; the citation datasets need the download and stay stubbed.
+_KARATE_EDGES = [
+    (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8),
+    (0, 10), (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21), (0, 31),
+    (1, 2), (1, 3), (1, 7), (1, 13), (1, 17), (1, 19), (1, 21), (1, 30),
+    (2, 3), (2, 7), (2, 8), (2, 9), (2, 13), (2, 27), (2, 28), (2, 32),
+    (3, 7), (3, 12), (3, 13),
+    (4, 6), (4, 10),
+    (5, 6), (5, 10), (5, 16),
+    (6, 16),
+    (8, 30), (8, 32), (8, 33),
+    (9, 33),
+    (13, 33),
+    (14, 32), (14, 33),
+    (15, 32), (15, 33),
+    (18, 32), (18, 33),
+    (19, 33),
+    (20, 32), (20, 33),
+    (22, 32), (22, 33),
+    (23, 25), (23, 27), (23, 29), (23, 32), (23, 33),
+    (24, 25), (24, 27), (24, 31),
+    (25, 31),
+    (26, 29), (26, 33),
+    (27, 33),
+    (28, 31), (28, 33),
+    (29, 32), (29, 33),
+    (30, 32), (30, 33),
+    (31, 32), (31, 33),
+    (32, 33),
+]
+
+# faction labels after the split (Zachary's ground truth): 0 = Mr. Hi,
+# 1 = Officer — the 'y' attribute the reference op exposes
+_KARATE_OFFICER = {9, 14, 15, 18, 20, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33}
+
+
+def well_known_graph(name: str):
+    """Returns (vertices Dataset (id, y), edges Dataset (src, dst)) for a
+    named public dataset — ImportOperations.scala:455-477 analog."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if name.lower() in ("karate club", "karate", "karate_club"):
+        src = [a for a, _ in _KARATE_EDGES]
+        dst = [b for _, b in _KARATE_EDGES]
+        vs = rd.from_arrow(
+            pa.table(
+                {
+                    "id": list(range(34)),
+                    "y": [1 if i in _KARATE_OFFICER else 0 for i in range(34)],
+                }
+            )
+        )
+        es = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+        return vs, es
+    if name in ("Cora", "CiteSeer", "PubMed"):
+        raise NotImplementedError(
+            f"{name} is fetched via torch-geometric's Planetoid download "
+            "(ImportOperations.scala:455, PyTorchGeometricDataset) — no "
+            "network in this container. Karate Club ships embedded."
+        )
+    raise ValueError(f"unknown well-known dataset {name!r}")

@@ -227,3 +227,22 @@ class SnapshotStore:
             return cached
         self.save(compute(), name, lineage)
         return self.load(name, lineage)
+
+    def load_union(self, names: list[str], lineage: str):
+        """'Import union of table snapshots' (ImportOperations.scala:
+        439-453): the row-union of several same-schema snapshots as ONE
+        Dataset — each snapshot stays its own lazily-read parquet
+        directory (Dataset.union concatenates block lists, no data
+        movement)."""
+        parts = []
+        for n in names:
+            ds = self.load(n, lineage)
+            if ds is None:
+                raise FileNotFoundError(f"snapshot {n!r} (lineage {lineage!r}) missing")
+            parts.append(ds)
+        if not parts:
+            raise ValueError("load_union needs at least one snapshot name")
+        out = parts[0]
+        for ds in parts[1:]:
+            out = out.union(ds)
+        return out

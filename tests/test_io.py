@@ -673,3 +673,46 @@ def test_write_database_round_trip_sqlite_and_duckdb(tmp_path):
         back = read_database(spec, "SELECT * FROM items", partition_col="k").to_pandas()
         assert sorted(back["k"].tolist()) == [1, 2, 3, 4]
         assert sorted(back["name"].tolist()) == ["a", "b", "c", "d"]
+
+
+def test_snapshot_load_union(tmp_path):
+    """'Import union of table snapshots' (ImportOperations.scala:439)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.state.checkpoint import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    store.save(rd.from_arrow(pa.table({"x": [1, 2]})), "a", "lin1")
+    store.save(rd.from_arrow(pa.table({"x": [3]})), "b", "lin1")
+    u = store.load_union(["a", "b"], "lin1")
+    assert sorted(r["x"] for r in u.take_all()) == [1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.load_union(["a", "missing"], "lin1")
+
+
+def test_well_known_graph_karate_club():
+    """'Import well-known graph dataset' (ImportOperations.scala:455):
+    Karate Club is embedded — 34 vertices, 78 edges, the classic degree
+    profile (deg(0)=16, deg(33)=17), two factions."""
+    import numpy as np
+
+    from lynxkite_ray.sources.generators import well_known_graph
+
+    vs, es = well_known_graph("Karate Club")
+    v = vs.to_pandas()
+    e = es.to_pandas()
+    assert len(v) == 34 and len(e) == 78
+    deg = np.zeros(34, int)
+    for s, d in zip(e["src"], e["dst"]):
+        assert s < d  # canonical orientation
+        deg[s] += 1
+        deg[d] += 1
+    assert deg[0] == 16 and deg[33] == 17 and deg.sum() == 156
+    assert set(v["y"]) == {0, 1} and v["y"].sum() == 17
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        well_known_graph("Cora")
