@@ -921,6 +921,75 @@ def _q_decision_tree(sf_dir: str):
     return classify_with_tree(feats, model, "rowid")
 
 
+def _q_decision_tree_regression(sf_dir: str):
+    """TrainDecisionTreeRegressor (MachineLearningOperations.scala:246)
+    analog — SSE-reduction histogram CART predicting extendedprice from
+    quantity.  Rows-only (greedy tree training is not SQL-expressible;
+    R² + determinism pinned in pytest)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import (
+        classify_with_tree,
+        train_decision_tree_regressor,
+    )
+    from lynxkite_ray.util import round_away
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rowid": pc.add(
+                    pc.multiply(t["l_orderkey"], pa.scalar(10, pa.int64())),
+                    pc.cast(t["l_linenumber"], pa.int64()),
+                ),
+                "qty": pc.cast(t["l_quantity"], pa.float64()),
+                "price": pc.cast(t["l_extendedprice"], pa.float64()),
+            }
+        )
+
+    feats = li.map_batches(prep, batch_format="pyarrow")
+    model = train_decision_tree_regressor(feats, ["qty"], "price", max_depth=4)
+    scored = classify_with_tree(feats, model, "rowid")
+    return scored.map_batches(
+        lambda t: pa.table(
+            {
+                "rowid": t["rowid"],
+                "prediction": round_away(
+                    t.column("prediction").to_numpy(zero_copy_only=False), 6
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_train_test_split(sf_dir: str):
+    """'Split to train and test set' (MachineLearningOperations.scala:172)
+    — content-hash role assignment over customers.  SQL-oracled: the
+    oracle recomputes the md5 membership mask verbatim."""
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import split_train_test
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return split_train_test(cust, "c_custkey", test_ratio=0.1, seed=7)
+
+
+TRAIN_TEST_SPLIT_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN md5_number_lower('7:' || CAST(c_custkey AS VARCHAR))
+                 < {int(0.1 * 2.0**64)}
+            THEN 'test' ELSE 'train' END AS role
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 def _q_scale_free(sf_dir: str):
     """ScaleFreeEdgeBundle.scala:37 analog (Chung-Lu parallel generator):
     degree table of a deterministic synthetic power-law graph — rows-only
@@ -980,15 +1049,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-hash Bernoulli sampling) ---
         "approx_distinct_parts", "sample_customers", "sampled_histogram",
         "effective_diameter", "hyperball_harmonic", "approx_embeddedness",
-        "approx_clustering_coefficient",
+        "approx_clustering_coefficient", "train_test_split",
+        "decision_tree_regression",
         # --- implementation changed in round 5: re-verify ---
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
         # _doc_words feeds jaccard; grouped_approx_quantiles got NaN masking
-        "exact_dedup", "jaccard_pairs", "embedding_neardup",
+        "exact_dedup", "jaccard_pairs",
         "ann_ivf", "text_embeddings", "text_embedding_ann",
         "kmeans_clusters", "pca_embeddings",
-        "linear_regression", "approx_quantiles",
+        "approx_quantiles",
         "grouped_approx_quantiles",
         # --- implementation changed in round 5 (PR serial-fraction cut):
         # re-verify; the rest of the flagship family (CC/LPA/degree/
@@ -1122,6 +1192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infocom_communities": SG.q_infocom_communities,
         # --- implementation changed this round: re-verify ---
         "decision_tree_scores": _q_decision_tree,
+        "decision_tree_regression": _q_decision_tree_regression,
+        "train_test_split": _q_train_test_split,
         "label_propagation": _q_lpa,
         "minhash_dedup": TX.q_minhash_dedup,
         "jaccard_pairs": TX.q_jaccard_pairs,
@@ -1295,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_parts": APPROX_DISTINCT_SQL,
         "sample_customers": SAMPLE_CUSTOMERS_SQL,
         "sampled_histogram": SAMPLED_HISTOGRAM_SQL,
+        "train_test_split": TRAIN_TEST_SPLIT_SQL,
         # 10 unrolled rounds = 3× the measured register fixpoint (T=3 at
         # sf0.01, T=2 at sf0.001; the dense co-purchase graph has a tiny
         # diameter at every sf) — post-fixpoint rounds are idempotent, and

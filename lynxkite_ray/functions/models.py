@@ -230,6 +230,30 @@ class LinearScorer:
         return pa.table({self.id_col: t.column(self.id_col), self.out: z})
 
 
+def split_train_test(
+    ds: Dataset,
+    key_col: str,
+    test_ratio: float = 0.1,
+    seed: int = 7,
+    out: str = "role",
+) -> Dataset:
+    """'Split to train and test set' (MachineLearningOperations.scala:172,
+    graph_operations.CreateRole): adds a 'test'/'train' role column by
+    content-hash Bernoulli membership on the key column — deterministic,
+    partition-stable (the same rows are 'test' under any repartitioning
+    or cluster size) and exactly SQL-mirrorable via md5_number_lower,
+    unlike the reference's partition-seeded Randoms."""
+    from ..ids import hash_sample_mask
+
+    def body(t: pa.Table) -> pa.Table:
+        vals = t.column(key_col).to_pylist()
+        mask = hash_sample_mask([str(v) for v in vals], test_ratio, seed)
+        roles = np.where(mask, "test", "train")
+        return t.append_column(out, pa.array(roles, pa.string()))
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def predict_with_model(
     ds: Dataset, beta: np.ndarray, feature_cols, id_col: str,
     logistic: bool = False, concurrency: int | None = None,
@@ -390,6 +414,131 @@ def _tree_classes(t: pa.Table, label_col: str):
     return np.unique(t.column(label_col).to_numpy(zero_copy_only=False))
 
 
+@ray.remote
+def _tree_reg_hist(t: pa.Table, feat_cols: list, label_col: str, splits: dict,
+                   lo: np.ndarray, width: np.ndarray, n_bins: int,
+                   node_ids: np.ndarray):
+    """Per-block regression partials for one tree level: (count, Σy, Σy²)
+    per (open node, feature, bin) — the same routing as _tree_hist with
+    moments instead of class counts."""
+    X = np.column_stack(
+        [t.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in feat_cols]
+    )
+    y = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    F = X.shape[1]
+    node = np.zeros(len(X), dtype=np.int64)
+    changed = True
+    while changed:
+        changed = False
+        for nid, (feat, thr) in splits.items():
+            m = node == nid
+            if m.any():
+                node[m] = np.where(X[m, feat] < thr, 2 * nid + 1, 2 * nid + 2)
+                changed = True
+    out = {}
+    for nid in node_ids.tolist():
+        m = node == nid
+        cnt = np.zeros((F, n_bins), dtype=np.int64)
+        sm = np.zeros((F, n_bins))
+        sq = np.zeros((F, n_bins))
+        if m.any():
+            Xm, ym = X[m], y[m]
+            for f in range(F):
+                b = np.clip(((Xm[:, f] - lo[f]) / width[f]).astype(np.int64), 0, n_bins - 1)
+                np.add.at(cnt[f], b, 1)
+                np.add.at(sm[f], b, ym)
+                np.add.at(sq[f], b, ym * ym)
+        out[nid] = (cnt, sm, sq)
+    return out
+
+
+def _sse_best_split(cnt: np.ndarray, sm: np.ndarray, sq: np.ndarray) -> tuple:
+    """(count, Σy, Σy²) per (F, bins) → (gain, feature, bin) by SSE
+    reduction (variance-reduction CART), deterministic tie-breaks."""
+    F, B = cnt.shape
+    n = int(cnt[0].sum())
+    if n == 0:
+        return 0.0, -1, -1
+    tot_s = sm[0].sum()
+    tot_q = sq[0].sum()
+    sse_parent = tot_q - tot_s * tot_s / n
+    best = (0.0, -1, -1)
+    for f in range(F):
+        cn = np.cumsum(cnt[f])
+        cs = np.cumsum(sm[f])
+        cq = np.cumsum(sq[f])
+        nl = cn
+        nr = n - nl
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sse_l = cq - np.where(nl > 0, cs * cs / np.maximum(nl, 1), 0.0)
+            rs = tot_s - cs
+            rq = tot_q - cq
+            sse_r = rq - np.where(nr > 0, rs * rs / np.maximum(nr, 1), 0.0)
+        gain = sse_parent - (sse_l + sse_r)
+        gain[(nl == 0) | (nr == 0)] = 0.0
+        b = int(np.argmax(gain[:-1])) if B > 1 else 0
+        if B > 1 and gain[b] > best[0] + 1e-12:
+            best = (float(gain[b]), f, b)
+    return best
+
+
+def train_decision_tree_regressor(
+    ds: Dataset,
+    feature_cols: list,
+    label_col: str,
+    max_depth: int = 4,
+    n_bins: int = 32,
+    min_gain: float = 1e-9,
+) -> dict:
+    """Deterministic histogram CART regressor
+    (TrainDecisionTreeRegressor, MachineLearningOperations.scala:246
+    analog): the classifier's level-wise histogram fan-out with (count,
+    Σy, Σy²) moments, splits by SSE reduction, leaves = mean label.
+    Returns the same model dict shape as train_decision_tree (leaves are
+    float means), scored by the same DecisionTreeScorer."""
+    blocks = ds.select_columns(list(feature_cols) + [label_col]).materialize().to_arrow_refs()
+    mm = ray.get([_tree_minmax.remote(b, list(feature_cols)) for b in blocks])
+    lo = np.min([p[0] for p in mm], axis=0)
+    hi = np.max([p[1] for p in mm], axis=0)
+    width = np.maximum((hi - lo) / n_bins, 1e-12)
+
+    splits: dict = {}
+    leaves: dict = {}
+    open_nodes = np.array([0], dtype=np.int64)
+    for depth in range(max_depth):
+        if len(open_nodes) == 0:
+            break
+        parts = ray.get(
+            [
+                _tree_reg_hist.remote(
+                    b, list(feature_cols), label_col, splits, lo, width,
+                    n_bins, open_nodes,
+                )
+                for b in blocks
+            ]
+        )
+        next_open = []
+        for nid in open_nodes.tolist():
+            cnt = np.sum([p[nid][0] for p in parts], axis=0)
+            sm = np.sum([p[nid][1] for p in parts], axis=0)
+            sq = np.sum([p[nid][2] for p in parts], axis=0)
+            n = int(cnt[0].sum())
+            gain, f, b = _sse_best_split(cnt, sm, sq)
+            if gain <= min_gain or depth == max_depth - 1:
+                leaves[nid] = float(sm[0].sum() / n) if n else 0.0
+                continue
+            thr = float(lo[f] + (b + 1) * width[f])
+            splits[nid] = (f, thr)
+            next_open.extend([2 * nid + 1, 2 * nid + 2])
+        open_nodes = np.array(next_open, dtype=np.int64)
+    return {
+        "splits": splits,
+        "leaves": leaves,
+        "classes": None,
+        "features": list(feature_cols),
+    }
+
+
 class DecisionTreeScorer:
     """Actor-pool scoring stage for the CART model (ClassifyWithModel
     slot: tree fetched once per actor)."""
@@ -416,7 +565,10 @@ class DecisionTreeScorer:
                 if msk.any():
                     node[msk] = np.where(X[msk, f] < thr, 2 * nid + 1, 2 * nid + 2)
                     changed = True
-        pred = np.zeros(len(X), dtype=np.int64)
+        # classifier leaves are ints, regressor leaves are float means —
+        # the output column follows the model
+        is_reg = any(isinstance(v, float) for v in m["leaves"].values())
+        pred = np.zeros(len(X), dtype=np.float64 if is_reg else np.int64)
         for nid, cls in m["leaves"].items():
             pred[node == nid] = cls
         return pa.table({self.id_col: t.column(self.id_col), self.out: pred})

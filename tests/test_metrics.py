@@ -806,3 +806,64 @@ def test_segment_stability_fragmentation_scalars():
     sc = segmentation_scalars(e, b).take_all()[0]
     # intra: 0-1,1-2,0-2,4-5 = 4 of 5; cut: 3-4
     assert sc["coverage"] == 0.8 and sc["edge_cut"] == 1
+
+
+def test_decision_tree_regressor_fits_piecewise_means():
+    """SSE-reduction histogram CART (MachineLearningOperations.scala:246
+    analog): recovers a piecewise-constant function's level means and is
+    deterministic across retrains."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import (
+        classify_with_tree,
+        train_decision_tree_regressor,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 4, 800)
+    levels = np.array([1.0, 5.0, -2.0, 10.0])
+    y = levels[x.astype(int)] + rng.normal(0, 0.05, 800)
+    ds = rd.from_arrow(
+        pa.table({"rid": list(range(800)), "x": x, "y": y})
+    ).repartition(5).materialize()
+    m1 = train_decision_tree_regressor(ds, ["x"], "y", max_depth=4)
+    m2 = train_decision_tree_regressor(ds, ["x"], "y", max_depth=4)
+    # leaf means (and SSE gains) are float sums whose addition order
+    # follows Ray's dynamic block splitting → 1-ulp retrain noise, the
+    # same contract as kmeans centroids; split DECISIONS sit far from
+    # that noise floor on this fixture, so the structure must agree
+    assert m1["splits"] == m2["splits"] and m1["features"] == m2["features"]
+    assert set(m1["leaves"]) == set(m2["leaves"])
+    np.testing.assert_allclose(
+        [m1["leaves"][k] for k in sorted(m1["leaves"])],
+        [m2["leaves"][k] for k in sorted(m2["leaves"])],
+        rtol=0,
+        atol=1e-9,
+    )
+    pred = {r["rid"]: r["prediction"] for r in classify_with_tree(ds, m1, "rid").take_all()}
+    p = np.array([pred[i] for i in range(800)])
+    ss_res = ((p - y) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    assert 1 - ss_res / ss_tot > 0.99  # piecewise means recovered
+    # leaves are float means, not class ids
+    assert all(isinstance(v, float) for v in m1["leaves"].values())
+
+
+def test_split_train_test_partition_stable_ratio():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.models import split_train_test
+
+    ds = rd.from_arrow(pa.table({"k": list(range(2000))}))
+    out = {r["k"]: r["role"] for r in split_train_test(ds, "k", 0.2, seed=3).take_all()}
+    out2 = {
+        r["k"]: r["role"]
+        for r in split_train_test(
+            rd.from_arrow(pa.table({"k": list(range(2000))})).repartition(7), "k", 0.2, seed=3
+        ).take_all()
+    }
+    assert out == out2  # partition-stable
+    frac = sum(1 for v in out.values() if v == "test") / 2000
+    assert 0.15 < frac < 0.25
