@@ -1055,7 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zero-copy vector extraction (util.vecs_np) touched every ANN /
         # embedding / model matrix build; exact_dedup got buffer-sliced md5;
         # _doc_words feeds jaccard; grouped_approx_quantiles got NaN masking
-        "exact_dedup", "jaccard_pairs",
+        "exact_dedup", "diameter",
         "ann_ivf", "text_embeddings", "text_embedding_ann",
         "kmeans_clusters", "pca_embeddings",
         "approx_quantiles",
@@ -1182,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lin_centrality": ST.q_lin_centrality,
         "average_distance": ST.q_average_distance,
         "laplacian_centrality": ST.q_laplacian_centrality,
+        "diameter": ST.q_diameter,
         "segment_stability": SG.q_segment_stability,
         "segment_fragmentation": SG.q_segment_fragmentation,
         "segmentation_scalars": SG.q_segmentation_scalars,
@@ -1368,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_customers": SAMPLE_CUSTOMERS_SQL,
         "sampled_histogram": SAMPLED_HISTOGRAM_SQL,
         "train_test_split": TRAIN_TEST_SPLIT_SQL,
+        "diameter": ST.DIAMETER_SQL,
         # 10 unrolled rounds = 3× the measured register fixpoint (T=3 at
         # sf0.01, T=2 at sf0.001; the dense co-purchase graph has a tiny
         # diameter at every sf) — post-fixpoint rounds are idempotent, and

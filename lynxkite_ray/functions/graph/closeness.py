@@ -41,10 +41,12 @@ def _csr(si: np.ndarray, di: np.ndarray, V: int):
 
 @ray.remote
 def _bfs_stats_chunk(csr, src_idx: np.ndarray, V: int):
-    """Per-source (reach incl. self, Σdist) via vectorized frontier BFS."""
+    """Per-source (reach incl. self, Σdist, eccentricity) via vectorized
+    frontier BFS."""
     indptr, nbrs = csr
     r = np.zeros(len(src_idx), dtype=np.int64)
     sumd = np.zeros(len(src_idx), dtype=np.int64)
+    ecc = np.zeros(len(src_idx), dtype=np.int64)
     for k, s in enumerate(src_idx):
         seen = np.zeros(V, dtype=bool)
         seen[s] = True
@@ -70,14 +72,15 @@ def _bfs_stats_chunk(csr, src_idx: np.ndarray, V: int):
             nreach += len(nxt)
             dsum += d * len(nxt)
             frontier = nxt
-        r[k], sumd[k] = nreach, dsum
-    return r, sumd
+        r[k], sumd[k], ecc[k] = nreach, dsum, d
+    return r, sumd, ecc
 
 
 def source_bfs_stats(
     graph: Graph, sources: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(source_ids, reach_count, dist_sum) — exact BFS from each source.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(source_ids, reach_count, dist_sum, eccentricity) — exact BFS from
+    each source.
 
     Broadcast-CSR + source-chunk fan-out; the sampled-estimate scale path
     is the caller passing k ≪ V sources."""
@@ -103,7 +106,10 @@ def source_bfs_stats(
     sumd = (
         np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
     )
-    return sources, r, sumd
+    ecc = (
+        np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.int64)
+    )
+    return sources, r, sumd, ecc
 
 
 def closeness_centrality(graph: Graph, sources: np.ndarray) -> Dataset:
@@ -115,7 +121,7 @@ def closeness_centrality(graph: Graph, sources: np.ndarray) -> Dataset:
 
     from ...util import round_away
 
-    ids, r, sumd = source_bfs_stats(graph, sources)
+    ids, r, sumd, _ = source_bfs_stats(graph, sources)
     n = graph.num_vertices
     c = np.zeros(len(ids), dtype=np.float64)
     m = (r > 1) & (sumd > 0)
@@ -132,7 +138,7 @@ def lin_centrality(graph: Graph, sources: np.ndarray) -> Dataset:
 
     from ...util import round_away
 
-    ids, r, sumd = source_bfs_stats(graph, sources)
+    ids, r, sumd, _ = source_bfs_stats(graph, sources)
     lin = np.ones(len(ids), dtype=np.float64)
     m = sumd > 0
     lin[m] = (r[m].astype(np.float64) ** 2) / sumd[m]
@@ -147,11 +153,31 @@ def average_distance(graph: Graph, sources: np.ndarray) -> Dataset:
 
     from ...util import round_away
 
-    _, r, sumd = source_bfs_stats(graph, sources)
+    _, r, sumd, _ = source_bfs_stats(graph, sources)
     pairs = int((r - 1).sum())
     avg = float(sumd.sum()) / pairs if pairs > 0 else 0.0
     return rd.from_arrow(
         pa.table({"avg_distance": round_away(np.array([avg]), 6)})
+    )
+
+
+def diameter_lower_bound(graph: Graph, sources: np.ndarray) -> Dataset:
+    """'Compute diameter' (GraphComputationOperations.scala:184, NetworKit
+    Diameter with max_error > 0): max eccentricity over the BFS source
+    sample — a certified LOWER bound on the diameter, exact when sources
+    = all vertices.  One scalar row (diameter_lower, n_sources)."""
+    import ray.data as rd
+
+    _, _, _, ecc = source_bfs_stats(graph, sources)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "diameter_lower": np.array(
+                    [int(ecc.max()) if len(ecc) else 0], np.int64
+                ),
+                "n_sources": np.array([len(ecc)], np.int64),
+            }
+        )
     )
 
 

@@ -1802,6 +1802,27 @@ FROM stats
 )
 
 
+def q_diameter(sf_dir: str):
+    """'Compute diameter' (GraphComputationOperations.scala:184): max
+    eccentricity over the 100 smallest part ids — exact per source, a
+    certified diameter lower bound (the reference's max_error>0 estimate
+    shape; exact diameter = sources set to all vertices)."""
+    from ..functions.graph.closeness import diameter_lower_bound
+
+    g, srcs = _closeness_sources(sf_dir)
+    return diameter_lower_bound(g, srcs)
+
+
+DIAMETER_SQL = (
+    _BFS_STATS_CTE
+    + f"""
+SELECT CAST(MAX(d) AS BIGINT) AS diameter_lower,
+       CAST((SELECT COUNT(*) FROM srcs) AS BIGINT) AS n_sources
+FROM dmin
+"""
+)
+
+
 def q_laplacian_centrality(sf_dir: str):
     """Unweighted Laplacian centrality over the co-purchase graph, every
     part (GraphComputationOperations.scala:99 'Compute centrality'

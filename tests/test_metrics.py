@@ -867,3 +867,40 @@ def test_split_train_test_partition_stable_ratio():
     assert out == out2  # partition-stable
     frac = sum(1 for v in out.values() if v == "test") / 2000
     assert 0.15 < frac < 0.25
+
+
+def test_diameter_lower_bound_vs_bfs():
+    """diameter over all sources == exact diameter (brute-force BFS);
+    a sampled source subset yields a valid lower bound."""
+    from lynxkite_ray.functions.graph.closeness import diameter_lower_bound
+
+    rng = np.random.default_rng(21)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 50, 120), rng.integers(0, 50, 120))
+            if a != b
+        }
+    )
+    sym = add_reversed_edges(edges_ds(edges))
+    g = Graph.from_edges(sym)
+    # brute force: max BFS eccentricity
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = 0
+    for s in g.vids.tolist():
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for nb in adj[u]:
+                if nb not in dist:
+                    dist[nb] = dist[u] + 1
+                    q.append(nb)
+        want = max(want, max(dist.values()))
+    full = diameter_lower_bound(g, g.vids).take_all()[0]
+    assert full["diameter_lower"] == want
+    sampled = diameter_lower_bound(g, g.vids[:5]).take_all()[0]
+    assert 0 < sampled["diameter_lower"] <= want
