@@ -1057,7 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # _doc_words feeds jaccard; grouped_approx_quantiles got NaN masking
         "exact_dedup", "diameter",
         "ann_ivf", "text_embeddings", "text_embedding_ann",
-        "kmeans_clusters", "pca_embeddings",
+        "kmeans_clusters", "spanning_forest",
         "approx_quantiles",
         "grouped_approx_quantiles",
         # --- implementation changed in round 5 (PR serial-fraction cut):
@@ -1183,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "average_distance": ST.q_average_distance,
         "laplacian_centrality": ST.q_laplacian_centrality,
         "diameter": ST.q_diameter,
+        "spanning_forest": ST.q_spanning_forest,
         "segment_stability": SG.q_segment_stability,
         "segment_fragmentation": SG.q_segment_fragmentation,
         "segmentation_scalars": SG.q_segmentation_scalars,

@@ -1823,6 +1823,30 @@ FROM dmin
 )
 
 
+def q_spanning_forest(sf_dir: str):
+    """'Find optimal spanning tree' (GraphComputationOperations.scala:251,
+    RandomMaximumSpanningForest analog): maximum-weight spanning forest of
+    the multiplicity-weighted co-purchase graph, seeded deterministic
+    tie-break — rows-only (union-find is not SQL-expressible; forest
+    weight pinned vs an independent Kruskal in pytest)."""
+    from ..functions.graph.spanning import max_spanning_forest
+    from ..stages.edges import edge_multiplicity
+
+    from .copurchase import copurchase_edges
+
+    mult = edge_multiplicity(copurchase_edges(sf_dir)).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "w": pc.cast(t["multiplicity"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return max_spanning_forest(mult, weight_col="w")
+
+
 def q_laplacian_centrality(sf_dir: str):
     """Unweighted Laplacian centrality over the co-purchase graph, every
     part (GraphComputationOperations.scala:99 'Compute centrality'

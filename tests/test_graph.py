@@ -1187,3 +1187,59 @@ def test_infocom_communities_planted():
         {0, 1, 2},
         {2, 5, 6, 7},
     ]
+
+
+def test_max_spanning_forest_weight_matches_kruskal():
+    """'Find optimal spanning tree' (GraphComputationOperations.scala:251):
+    forest weight is unique — differential vs an independent in-test
+    Kruskal; structure checks: acyclic, spanning, deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph.spanning import max_spanning_forest
+
+    rng = np.random.default_rng(31)
+    raw = {(int(a), int(b)) for a, b in zip(rng.integers(0, 30, 120), rng.integers(0, 30, 120)) if a != b}
+    edges = [(min(a, b), max(a, b), float(rng.integers(1, 20))) for a, b in raw]
+    # dedup canonical pairs keeping max weight (mirror of the operator's collapse)
+    best = {}
+    for a, b, w in edges:
+        best[(a, b)] = max(best.get((a, b), -1.0), w)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": [e[0] for e in edges],
+                "dst": [e[1] for e in edges],
+                "w": [e[2] for e in edges],
+            }
+        )
+    )
+    out = max_spanning_forest(ds, weight_col="w").take_all()
+    out2 = max_spanning_forest(ds, weight_col="w").take_all()
+    assert sorted(map(tuple, (r.values() for r in out))) == sorted(
+        map(tuple, (r.values() for r in out2))
+    )  # deterministic
+    got_w = sum(r["weight"] for r in out if r["in_tree"] == 1.0)
+    n_tree = sum(1 for r in out if r["in_tree"] == 1.0)
+
+    # independent Kruskal
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want_w, want_n = 0.0, 0
+    for (a, b), w in sorted(best.items(), key=lambda kv: -kv[1]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want_w += w
+            want_n += 1
+    assert n_tree == want_n and abs(got_w - want_w) < 1e-9
+    # unweighted variant: spanning forest size = V - #components
+    unw = max_spanning_forest(ds).take_all()
+    assert sum(1 for r in unw if r["in_tree"] == 1.0) == want_n
