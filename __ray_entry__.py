@@ -1184,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "laplacian_centrality": ST.q_laplacian_centrality,
         "diameter": ST.q_diameter,
         "spanning_forest": ST.q_spanning_forest,
+        "pivot_mds_layout": ST.q_pivot_mds,
         "segment_stability": SG.q_segment_stability,
         "segment_fragmentation": SG.q_segment_fragmentation,
         "segmentation_scalars": SG.q_segmentation_scalars,

@@ -1847,6 +1847,19 @@ def q_spanning_forest(sf_dir: str):
     return max_spanning_forest(mult, weight_col="w")
 
 
+def q_pivot_mds(sf_dir: str):
+    """'Place vertices with edge lengths' (GraphComputationOperations.
+    scala:130, PivotMDS): 2-D layout of the co-purchase graph — rows-only
+    (eigendecomposition is not SQL-expressible; barbell-separation +
+    determinism pinned in pytest)."""
+    from ..functions.graph.layout import pivot_mds
+
+    from .copurchase import copurchase_graph
+
+    g = copurchase_graph(sf_dir, symmetric=True)
+    return pivot_mds(g, dimensions=2, pivots=64, seed=1)
+
+
 def q_laplacian_centrality(sf_dir: str):
     """Unweighted Laplacian centrality over the co-purchase graph, every
     part (GraphComputationOperations.scala:99 'Compute centrality'

@@ -1243,3 +1243,43 @@ def test_max_spanning_forest_weight_matches_kruskal():
     # unweighted variant: spanning forest size = V - #components
     unw = max_spanning_forest(ds).take_all()
     assert sum(1 for r in unw if r["in_tree"] == 1.0) == want_n
+
+
+def test_pivot_mds_separates_barbell():
+    """'Place vertices with edge lengths' (GraphComputationOperations.
+    scala:130, PivotMDS): on a barbell (two 8-cliques + 10-path) the first
+    axis separates the cliques; output is deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.graph import Graph
+    from lynxkite_ray.functions.graph.layout import pivot_mds
+    from lynxkite_ray.stages.edges import add_reversed_edges
+
+    edges = []
+    for base in (0, 18):  # cliques 0-7 and 18-25
+        for a in range(8):
+            for b in range(a + 1, 8):
+                edges.append((base + a, base + b))
+    chain = [7] + list(range(8, 18)) + [18]  # path joining them
+    edges += list(zip(chain, chain[1:]))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([e[0] for e in edges], np.int64),
+                "dst": np.array([e[1] for e in edges], np.int64),
+            }
+        )
+    )
+    g = Graph.from_edges(add_reversed_edges(ds))
+    out = {r["id"]: (r["x"], r["y"]) for r in pivot_mds(g, pivots=10, seed=1).take_all()}
+    out2 = {r["id"]: (r["x"], r["y"]) for r in pivot_mds(g, pivots=10, seed=1).take_all()}
+    assert out == out2  # deterministic
+    left = np.mean([out[i][0] for i in range(8)])
+    right = np.mean([out[18 + i][0] for i in range(8)])
+    spread_l = np.std([out[i][0] for i in range(8)])
+    assert abs(left - right) > 5 * max(spread_l, 1e-9)  # cliques separated on x
+    # path vertices interpolate between the cliques on x
+    xs = [out[v][0] for v in chain]
+    assert (np.diff(xs) > 0).all() or (np.diff(xs) < 0).all()
