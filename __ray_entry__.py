@@ -1064,7 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-verify; the rest of the flagship family (CC/LPA/degree/
         # triangles) saw only oracle-text or cache-key changes, was
         # verified locally, and keeps its r1-r4 green rows ---
-        "pagerank", "pagerank_weighted",
+        "pagerank", "segment_by_proximity",
     ]
     q = {
         # --- new in round 3 (never driver-checked) ---
@@ -1185,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter": ST.q_diameter,
         "spanning_forest": ST.q_spanning_forest,
         "pivot_mds_layout": ST.q_pivot_mds,
+        "segment_by_proximity": ST.q_segment_by_proximity,
         "segment_stability": SG.q_segment_stability,
         "segment_fragmentation": SG.q_segment_fragmentation,
         "segmentation_scalars": SG.q_segmentation_scalars,
@@ -1372,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_histogram": SAMPLED_HISTOGRAM_SQL,
         "train_test_split": TRAIN_TEST_SPLIT_SQL,
         "diameter": ST.DIAMETER_SQL,
+        "segment_by_proximity": ST.SEGMENT_BY_PROXIMITY_SQL,
         # 10 unrolled rounds = 3× the measured register fixpoint (T=3 at
         # sf0.01, T=2 at sf0.001; the dense co-purchase graph has a tiny
         # diameter at every sf) — post-fixpoint rounds are idempotent, and

@@ -2016,6 +2016,69 @@ FROM pts
 """
 
 
+def q_segment_by_proximity(sf_dir: str):
+    """'Segment by geographical proximity'
+    (BuildSegmentationOperations.scala:563) over the same synthetic
+    points as lookup_region, with four axis-aligned quadrant rectangles
+    and a 5-degree buffer — multi-match belongsTo pairs (points in the
+    0.5-wide gaps match BOTH adjacent quadrants).  SQL-oracled: distance
+    to an axis-aligned rectangle is GREATEST-arithmetic, recomputed
+    verbatim (for convex regions inside-or-within-d-of-boundary equals
+    region distance ≤ d, which is what the engine's PIP + segment
+    distance computes)."""
+    import numpy as np
+
+    from ..functions.geo import segment_by_proximity
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "id": k,
+                "lat": ((k * 37) % 181) - 89.5,
+                "lon": ((k * 91) % 361) - 179.5,
+            }
+        )
+
+    pts = cust.map_batches(coords, batch_format="pyarrow")
+    regions = [
+        ("ne", np.array([(0.25, 0.25), (200.0, 0.25), (200.0, 100.0), (0.25, 100.0)])),
+        ("nw", np.array([(-200.0, 0.25), (-0.25, 0.25), (-0.25, 100.0), (-200.0, 100.0)])),
+        ("se", np.array([(0.25, -100.0), (200.0, -100.0), (200.0, -0.25), (0.25, -0.25)])),
+        ("sw", np.array([(-200.0, -100.0), (-0.25, -100.0), (-0.25, -0.25), (-200.0, -0.25)])),
+    ]
+    return segment_by_proximity(pts, regions, distance=5.0)
+
+
+# dist²(point, axis-aligned rect) = GREATEST(xmin-x, 0, x-xmax)² +
+# GREATEST(ymin-y, 0, y-ymax)²; match iff ≤ 25 (5-degree buffer)
+_PROX_RECTS = [
+    ("ne", 0.25, 200.0, 0.25, 100.0),
+    ("nw", -200.0, -0.25, 0.25, 100.0),
+    ("se", 0.25, 200.0, -100.0, -0.25),
+    ("sw", -200.0, -0.25, -100.0, -0.25),
+]
+
+SEGMENT_BY_PROXIMITY_SQL = (
+    """
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS id,
+         ((c_custkey * 37) % 181) - 89.5 AS lat,
+         ((c_custkey * 91) % 361) - 179.5 AS lon
+  FROM customer
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT id, '{name}' AS segment FROM pts
+WHERE POWER(GREATEST({x0} - lon, 0, lon - {x1}), 2)
+    + POWER(GREATEST({y0} - lat, 0, lat - {y1}), 2) <= 25.0"""
+        for name, x0, x1, y0, y1 in _PROX_RECTS
+    )
+)
+
+
 def q_betweenness(sf_dir: str):
     """Sampled Brandes betweenness over the co-purchase graph (rows-only:
     sampling estimator; exact closed forms + estimator quality pinned in

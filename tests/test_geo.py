@@ -50,3 +50,33 @@ def test_lookup_region_first_match_and_drop():
         for r in lookup_region(pts, regions, keep_unmatched=True, concurrency=1).take_all()
     }
     assert kept[4] == ""
+
+
+def test_segment_by_proximity_buffer_and_multimatch():
+    """'Segment by geographical proximity' (BuildSegmentationOperations.
+    scala:563): inside → match, within d of the boundary → match, gap
+    points match BOTH adjacent regions, far points match none."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lynxkite_ray.functions.geo import segment_by_proximity
+
+    left = ("left", np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]))
+    right = ("right", np.array([(12.0, 0.0), (22.0, 0.0), (22.0, 10.0), (12.0, 10.0)]))
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "id": [1, 2, 3, 4],
+                "lon": [5.0, 11.0, 30.0, 12.5],
+                "lat": [5.0, 5.0, 5.0, 5.0],
+            }
+        )
+    )
+    out = sorted(
+        (r["id"], r["segment"])
+        for r in segment_by_proximity(pts, [left, right], distance=1.5).take_all()
+    )
+    # 1: inside left; 2: in the gap, within 1.5 of BOTH; 3: far from all;
+    # 4: inside right
+    assert out == [(1, "left"), (2, "left"), (2, "right"), (4, "right")]
